@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.pdf._
+import graft.html.HtmlExtract
+
+/** One extracted span: page index + [start,end) byte offsets into textBytes. */
+final case class Span(page: Int, start: Long, end: Long)
+
+/** Kernel output for one document.
+  *
+  *  - textBytes carries the EXACT extracted bytes (the byte-identity unit of
+  *    the north rule); `text` is its UTF-8 (lossy) string view for the Spark
+  *    string column.
+  *  - status: ok | error | skipped_oversize | empty
+  *  - error: message for status=error (text still holds the partial output).
+  */
+final case class ExtractResult(
+    textBytes: Array[Byte],
+    spans: Seq[Span],
+    status: String,
+    error: String) {
+  def text: String = new String(textBytes, UTF_8)
+}
+
+/** Top-level per-document extraction: payload dispatch (PDF magic vs HTML),
+  * page loop with per-page extraction, span accounting, failure isolation.
+  * Pure function Array[Byte] -> ExtractResult; executed per row inside
+  * Dataset.mapPartitions. Never throws.
+  */
+object Extract {
+
+  /** Documents larger than this are skipped (skew guard; recorded in
+    * lineage, never silently dropped).
+    */
+  val DefaultMaxBytesPerDoc: Int = 64 << 20
+
+  def apply(payload: Array[Byte]): ExtractResult = apply(payload, DefaultMaxBytesPerDoc)
+
+  def apply(payload: Array[Byte], maxBytesPerDoc: Int): ExtractResult = {
+    try {
+      if (payload == null || payload.length == 0)
+        return ExtractResult(Array.emptyByteArray, Nil, "empty", "")
+      if (payload.length > maxBytesPerDoc)
+        return ExtractResult(Array.emptyByteArray, Nil, "skipped_oversize", "")
+      if (isPdf(payload)) extractPdf(payload)
+      else extractHtml(payload)
+    } catch {
+      case e: Throwable => // absolute backstop: a kernel bug must not fail the task
+        ExtractResult(Array.emptyByteArray, Nil, "error", safeMsg(e))
+    }
+  }
+
+  def isPdf(payload: Array[Byte]): Boolean =
+    payload.length >= 5 &&
+      payload(0) == '%' && payload(1) == 'P' && payload(2) == 'D' &&
+      payload(3) == 'F' && payload(4) == '-'
+
+  /** PDF branch: open -> page list -> per-page golden extraction. Pages are
+    * joined with "\n"; spans record each page's [start,end) in textBytes.
+    * Any page-level error aborts with the partial text accumulated so far
+    * (matching the reference's ExtractText error contract).
+    */
+  def extractPdf(payload: Array[Byte]): ExtractResult = {
+    val doc =
+      try PdfDocument.open(payload)
+      catch {
+        case e: PdfError   => return ExtractResult(Array.emptyByteArray, Nil, "error", safeMsg(e))
+        case e: Exception  => return ExtractResult(Array.emptyByteArray, Nil, "error", safeMsg(e))
+      }
+    val buf = new java.io.ByteArrayOutputStream()
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+    var pageIdx = 0
+    for (page <- doc.pages) {
+      if (pageIdx > 0) buf.write('\n')
+      val start = buf.size().toLong
+      val pe =
+        try {
+          val content = doc.allContentStreams(page)
+          TextExtractor.extractText(content, page.resources)
+        } catch {
+          case e: Exception => PageExtract(Array.emptyByteArray, Some(safeMsg(e)))
+        }
+      buf.write(pe.bytes)
+      spans += Span(pageIdx, start, buf.size().toLong)
+      pe.error match {
+        case Some(msg) => return ExtractResult(buf.toByteArray, spans.toSeq, "error", msg)
+        case None      => ()
+      }
+      pageIdx += 1
+    }
+    ExtractResult(buf.toByteArray, spans.toSeq, "ok", "")
+  }
+
+  /** HTML branch: boilerplate strip; one span per kept block. */
+  def extractHtml(payload: Array[Byte]): ExtractResult = {
+    val res = HtmlExtract.extract(payload)
+    val text = res.text
+    val bytes = text.getBytes(UTF_8)
+    // Span per output line (title counts as line 0 when present).
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+    var off = 0L
+    var idx = 0
+    val lines = if (text.isEmpty) Array.empty[String] else text.split("\n", -1)
+    for (line <- lines) {
+      val lb = line.getBytes(UTF_8).length
+      spans += Span(idx, off, off + lb)
+      off += lb + 1 // + the joining '\n'
+      idx += 1
+    }
+    ExtractResult(bytes, spans.toSeq, "ok", "")
+  }
+
+  private def safeMsg(e: Throwable): String = {
+    val m = e.getMessage
+    val base = if (m == null || m.isEmpty) e.getClass.getSimpleName else m
+    if (base.length > 500) base.substring(0, 500) else base
+  }
+}

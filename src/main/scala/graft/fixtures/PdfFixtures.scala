@@ -1,0 +1,382 @@
+package graft.fixtures
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import graft.pdf.Filters
+
+/** Deterministic synthetic PDF/HTML corpus builders (FIXTURES.md §3/§4).
+  * Every PDF is assembled as raw byte templates so the expected extracted
+  * text is known BY CONSTRUCTION under the reference algorithm. Used by the
+  * ScalaTest goldens, the Spark end-to-end fixtures, and the bench corpus.
+  */
+object PdfFixtures {
+
+  private def b(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+
+  /** Escape raw bytes into a PDF literal string body. */
+  def escapeString(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 8)
+    for (x <- data) {
+      val c = x & 0xff
+      if (c == '(' || c == ')' || c == '\\') { out.write('\\'); out.write(c) }
+      else out.write(c)
+    }
+    out.toByteArray
+  }
+
+  def escapeStringText(text: String): Array[Byte] = escapeString(text.getBytes(UTF_8))
+
+  /** Assemble a classic-xref PDF from (objNum -> body) pairs, in order.
+    * A body is either a direct object source (dict/array/...) or a
+    * (dictSource, rawStreamBytes) pair for stream objects.
+    */
+  final class Builder(version: String = "1.4") {
+    private sealed trait Body
+    private final case class Direct(src: Array[Byte]) extends Body
+    private final case class Stream(dictSrc: Array[Byte], raw: Array[Byte]) extends Body
+
+    private val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, Body)]
+    var rootRef = "1 0 R"
+
+    def obj(num: Int, src: String): Builder = { objs += ((num, Direct(b(src)))); this }
+    def stream(num: Int, dictSrc: String, raw: Array[Byte]): Builder = {
+      objs += ((num, Stream(b(dictSrc), raw))); this
+    }
+    /** Stream with /Length auto-filled (appended to the dict source, which
+      * must end just before the closing ">>").
+      */
+    def streamAuto(num: Int, dictOpenSrc: String, raw: Array[Byte]): Builder =
+      stream(num, s"$dictOpenSrc /Length ${raw.length} >>", raw)
+
+    def build(startxrefOverride: Option[Long] = None,
+              gluedTrailer: Boolean = false): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(b(s"%PDF-$version\n%âãÏÓ\n"))
+      val offsets = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+      for ((num, body) <- objs) {
+        offsets(num) = out.size().toLong
+        body match {
+          case Direct(src) =>
+            out.write(b(s"$num 0 obj\n")); out.write(src); out.write(b("\nendobj\n"))
+          case Stream(dictSrc, raw) =>
+            out.write(b(s"$num 0 obj\n")); out.write(dictSrc)
+            out.write(b("\nstream\n")); out.write(raw); out.write(b("\nendstream\nendobj\n"))
+        }
+      }
+      val xrefOffset = out.size().toLong
+      val maxNum = offsets.keys.max
+      out.write(b(s"xref\n0 ${maxNum + 1}\n"))
+      out.write(b(f"${0}%010d ${65535}%05d f \n"))
+      var n = 1
+      while (n <= maxNum) {
+        offsets.get(n) match {
+          case Some(off) => out.write(b(f"$off%010d ${0}%05d n \n"))
+          case None      => out.write(b(f"${0}%010d ${65535}%05d f \n"))
+        }
+        n += 1
+      }
+      if (gluedTrailer)
+        out.write(b(s"trailer<< /Root $rootRef /Size ${maxNum + 1} >>\n"))
+      else
+        out.write(b(s"trailer\n<< /Root $rootRef /Size ${maxNum + 1} >>\n"))
+      out.write(b(s"startxref\n${startxrefOverride.getOrElse(xrefOffset)}\n%%EOF\n"))
+      out.toByteArray
+    }
+  }
+
+  /** Standard 1-page scaffold: catalog(1) -> pages(2) -> page(3) -> content(4). */
+  private def onePage(contentDict: String, contentRaw: Array[Byte],
+                      pageExtra: String = "", resources: String = defaultResources,
+                      extra: Builder => Unit = _ => ()): Array[Byte] = {
+    val bld = new Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $resources /Contents 4 0 R $pageExtra>>")
+    bld.stream(4, contentDict, contentRaw)
+    extra(bld)
+    bld.build()
+  }
+
+  val defaultResources: String =
+    "<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >>"
+
+  private def contentFor(text: String): Array[Byte] = {
+    val esc = new String(escapeStringText(text), ISO_8859_1)
+    b(s"BT /F1 12 Tf ($esc) Tj ET")
+  }
+
+  /** s01: classic xref, single Tj -> text extracted verbatim. */
+  def s01(text: String = "Hello World"): Array[Byte] = {
+    val c = contentFor(text)
+    onePage(s"<< /Length ${c.length} >>", c)
+  }
+
+  /** s02: two Tj with `0 -10 Td` between -> "line1\nline2". */
+  def s02(line1: String = "line1", line2: String = "line2"): Array[Byte] = {
+    val c = b(s"BT /F1 12 Tf (${new String(escapeStringText(line1), ISO_8859_1)}) Tj " +
+      s"0 -10 Td (${new String(escapeStringText(line2), ISO_8859_1)}) Tj ET")
+    onePage(s"<< /Length ${c.length} >>", c)
+  }
+
+  /** s03: `10 0 Td` between Tj -> "a b". */
+  def s03(): Array[Byte] = {
+    val c = b("BT /F1 12 Tf (a) Tj 10 0 Td (b) Tj ET")
+    onePage(s"<< /Length ${c.length} >>", c)
+  }
+
+  /** s04: Tm with descending y then ascending x -> newline + tab emission. */
+  def s04(): Array[Byte] = {
+    val c = b("BT /F1 12 Tf 1 0 0 1 50 700 Tm (r1c1) Tj 1 0 0 1 150 700 Tm (r1c2) Tj " +
+      "1 0 0 1 50 680 Tm (r2c1) Tj ET")
+    onePage(s"<< /Length ${c.length} >>", c)
+  }
+
+  /** s05: TJ array with kerns: <-100 emits a space, >=-100 does not. */
+  def s05(): Array[Byte] = {
+    val c = b("BT /F1 12 Tf [(to) -150 (kern) -50 (joined)] TJ ET")
+    onePage(s"<< /Length ${c.length} >>", c)
+  }
+
+  /** s06: FlateDecode content stream (same text as s01). */
+  def s06(text: String = "Hello World"): Array[Byte] = {
+    val raw = contentFor(text)
+    val enc = Filters.flateEncode(raw)
+    onePage(s"<< /Filter /FlateDecode /Length ${enc.length} >>", enc)
+  }
+
+  /** s07: xref STREAM (PNG predictor-12 flate) + object stream holding the
+    * catalog/pages/page dicts. Exercises §2.2 xref streams and §2.3 objstms.
+    */
+  def s07(text: String = "Hello World"): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(b("%PDF-1.5\n%âãÏÓ\n"))
+    // obj 4: content stream (uncompressed)
+    val content = contentFor(text)
+    val off4 = out.size().toLong
+    out.write(b(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n"))
+    out.write(content)
+    out.write(b("\nendstream\nendobj\n"))
+    // obj 6: object stream holding objects 1 (catalog), 2 (pages), 3 (page)
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+    val o3 = s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>"
+    val payload = new StringBuilder
+    val hdr = new StringBuilder
+    var first = 0
+    val bodies = Seq((1, o1), (2, o2), (3, o3))
+    for ((num, src) <- bodies) {
+      hdr.append(s"$num ${payload.length} ")
+      payload.append(src).append('\n')
+    }
+    first = hdr.length
+    val objstmData = b(hdr.toString + payload.toString)
+    val objstmEnc = Filters.flateEncode(objstmData)
+    val off6 = out.size().toLong
+    out.write(b(s"6 0 obj\n<< /Type /ObjStm /N 3 /First $first /Filter /FlateDecode " +
+      s"/Length ${objstmEnc.length} >>\nstream\n"))
+    out.write(objstmEnc)
+    out.write(b("\nendstream\nendobj\n"))
+    // obj 5: xref stream, W [1 2 1], entries for objects 0..6
+    val off5 = out.size().toLong
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] =
+      Array[Byte](t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+    val rows = Array(
+      row(0, 0, 0),               // 0: free
+      row(2, 6, 0),               // 1: in objstm 6, idx 0
+      row(2, 6, 1),               // 2
+      row(2, 6, 2),               // 3
+      row(1, off4, 0),            // 4: offset
+      row(1, off5, 0),            // 5: the xref stream itself
+      row(1, off6, 0))            // 6: objstm
+    // PNG Up-predictor (filter byte 2) encode, then flate.
+    val rowLen = 4
+    val pred = new ByteArrayOutputStream()
+    val prev = new Array[Byte](rowLen)
+    for (r <- rows) {
+      pred.write(2)
+      var j = 0
+      while (j < rowLen) { pred.write((r(j) - prev(j)) & 0xff); j += 1 }
+      System.arraycopy(r, 0, prev, 0, rowLen)
+    }
+    val xrefEnc = Filters.flateEncode(pred.toByteArray)
+    out.write(b(s"5 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> " +
+      s"/Length ${xrefEnc.length} >>\nstream\n"))
+    out.write(xrefEnc)
+    out.write(b("\nendstream\nendobj\n"))
+    out.write(b(s"startxref\n$off5\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** s08: ToUnicode CMap font; hex-string Tj codes map through bfchar/bfrange.
+    * Codes: <0001>-><0041..> via bfrange base, <0042> bfchar -> U+263A.
+    * Expected text for codes 0001 0002 0042: "AB☺".
+    */
+  def s08(): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |/CMapName /Adobe-Identity-UCS def
+        |/CMapType 2 def
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<0042> <263A>
+        |endbfchar
+        |1 beginbfrange
+        |<0001> <0003> <0041>
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end""".stripMargin
+    val cmapBytes = cmap.getBytes(ISO_8859_1)
+    val res = "<< /Font << /F1 << /Type /Font /Subtype /Type0 /BaseFont /Ident /ToUnicode 5 0 R >> >> >>"
+    val c = b("BT /F1 12 Tf <000100020042> Tj ET")
+    onePage(s"<< /Length ${c.length} >>", c, resources = res,
+      extra = bld => bld.stream(5, s"<< /Length ${cmapBytes.length} >>", cmapBytes))
+  }
+
+  /** s09: Contents as an ARRAY of two streams -> joined with " ". */
+  def s09(t1: String = "part1", t2: String = "part2"): Array[Byte] = {
+    val bld = new Builder()
+    val c1 = contentFor(t1)
+    val c2 = contentFor(t2)
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents [4 0 R 5 0 R] >>")
+    bld.stream(4, s"<< /Length ${c1.length} >>", c1)
+    bld.stream(5, s"<< /Length ${c2.length} >>", c2)
+    bld.build()
+  }
+
+  /** s10: quote show-ops and Do XObject -> their text must be ABSENT. */
+  def s10(): Array[Byte] = {
+    val c = b("BT /F1 12 Tf (kept) Tj (dropped-quote) ' (dropped-dquote) \" ET /X1 Do")
+    onePage(s"<< /Length ${c.length} >>", c)
+  }
+
+  /** s11: multi-filter content stream [/ASCII85Decode /FlateDecode]: data
+    * encoded flate-then-a85; MultiEncoder decodes in array order.
+    */
+  def s11(text: String = "Hello World"): Array[Byte] = {
+    val raw = contentFor(text)
+    val enc = Filters.ascii85Encode(Filters.flateEncode(raw))
+    onePage(s"<< /Filter [/ASCII85Decode /FlateDecode] /Length ${enc.length} >>", enc)
+  }
+
+  /** s12: broken startxref offset -> repairLocateXref finds the table. */
+  def s12(text: String = "Hello World"): Array[Byte] = {
+    val bld = new Builder()
+    val c = contentFor(text)
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    bld.build(startxrefOverride = Some(99999999L))
+  }
+
+  /** s13: "trailer<<" glued on one line. */
+  def s13(text: String = "Hello World"): Array[Byte] = {
+    val bld = new Builder()
+    val c = contentFor(text)
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    bld.build(gluedTrailer = true)
+  }
+
+  /** s15: inline image with a fake "EI" inside the binary data, before text. */
+  def s15(text: String = "after image"): Array[Byte] = {
+    val img = new ByteArrayOutputStream()
+    img.write(b("BI /W 4 /H 2 /CS /DeviceGray /BPC 8 ID "))
+    img.write(Array[Byte](0x01, 0x20, 'E', 'I', 0x02, 0x7f, 0x00, 0x41)) // fake " EI" mid-data
+    img.write(b(" EI "))
+    val c = new ByteArrayOutputStream()
+    c.write(img.toByteArray)
+    c.write(b(s"BT /F1 12 Tf (${new String(escapeStringText(text), ISO_8859_1)}) Tj ET"))
+    val cb = c.toByteArray
+    onePage(s"<< /Length ${cb.length} >>", cb)
+  }
+
+  /** s16: unknown colorspace AFTER partial text -> partial text + error. */
+  def s16(): Array[Byte] = {
+    val c = b("BT /F1 12 Tf (partial) Tj ET /NoSuchCS CS BT (never) Tj ET")
+    onePage(s"<< /Length ${c.length} >>", c)
+  }
+
+  /** s14: wrong (too long) /Length corrected by the next-xref heuristic.
+    * The stream object comes FIRST so a later xref offset exists to correct
+    * against (parser.go:1441-1455 needs a next object in the xref).
+    */
+  def s14(text: String = "Hello World"): Array[Byte] = {
+    val bld = new Builder()
+    val c = contentFor(text)
+    bld.stream(4, s"<< /Length ${c.length + 500} >>", c) // over-long /Length
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>")
+    bld.build()
+  }
+
+  /** Two-page document: per-page texts joined with "\n" at the doc level. */
+  def twoPages(t1: String, t2: String): Array[Byte] = {
+    val bld = new Builder()
+    val c1 = contentFor(t1)
+    // Page 2 has no resources anywhere: its content avoids Tf (raw Tj only).
+    val c2 = b(s"BT (${new String(escapeStringText(t2), ISO_8859_1)}) Tj ET")
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${c1.length} >>", c1)
+    bld.obj(5, s"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+    bld.stream(6, s"<< /Length ${c2.length} >>", c2)
+    bld.build()
+  }
+
+  /** Resources inherited from the Pages node (page has none). */
+  def inheritedResources(text: String = "inherited"): Array[Byte] = {
+    val bld = new Builder()
+    val c = contentFor(text)
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, s"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] /Resources $defaultResources >>")
+    bld.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    bld.build()
+  }
+
+  // ------------------------------------------------------------------- html
+
+  def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** h01-style page: title + paragraphs in <article>, nav/footer boilerplate. */
+  def htmlPage(title: String, paragraphs: Seq[String]): Array[Byte] = {
+    val ps = paragraphs.map(p => s"<p>${escapeHtml(p)}</p>").mkString("\n")
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><title>${escapeHtml(title)}</title>
+         |<style>body { color: red; }</style>
+         |<script>var x = "<p>not text</p>";</script>
+         |</head><body>
+         |<nav><a href="/">Home</a> <a href="/about">About</a></nav>
+         |<header>Site Header Boilerplate</header>
+         |<article>
+         |$ps
+         |</article>
+         |<aside><a href="/l1">link</a> <a href="/l2">farm</a> <a href="/l3">here</a></aside>
+         |<footer>Copyright 2026 Example Corp</footer>
+         |</body></html>""".stripMargin
+    html.getBytes(UTF_8)
+  }
+
+  /** Single-paragraph page used for the DuckDB-oracle HTML round-trip. */
+  def htmlSimple(bodyText: String): Array[Byte] = {
+    val html = s"<html><body><article><p>${escapeHtml(bodyText)}</p></article></body></html>"
+    html.getBytes(UTF_8)
+  }
+}

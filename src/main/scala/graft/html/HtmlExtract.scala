@@ -1,0 +1,233 @@
+package graft.html
+
+import scala.collection.mutable
+
+/** DOM-heuristic HTML main-content extraction (boilerplate strip), designed
+  * from scratch for the Common-Crawl-style HTML branch of the pipeline (the
+  * reference engine has no HTML code; see SURVEY.md §7.5). Public-knowledge
+  * Readability/Boilerpipe-style heuristics:
+  *
+  *  - raw-text subtrees (script/style/noscript/template/svg/iframe) are
+  *    skipped wholesale;
+  *  - boilerplate containers (nav/header/footer/aside/form) drop their text;
+  *  - text is split into blocks at block-level tags; each block tracks its
+  *    link-character density and whether it sits inside article/main;
+  *  - a block is kept if it is inside article/main, or if its link density
+  *    is <= 0.33 and it has >= 25 characters (or is a heading with low link
+  *    density);
+  *  - entities are decoded (named basics + numeric), whitespace is collapsed
+  *    to single spaces per block;
+  *  - output = title (if any) followed by kept blocks, joined with "\n".
+  *
+  * Single pass, no recursion (depth guard by construction), tolerant of
+  * broken tags and non-UTF-8 input (lossy decode). Deterministic.
+  */
+object HtmlExtract {
+
+  final case class HtmlResult(title: String, blocks: Seq[String]) {
+    def text: String =
+      if (title.nonEmpty && blocks.nonEmpty) title + "\n" + blocks.mkString("\n")
+      else if (title.nonEmpty) title
+      else blocks.mkString("\n")
+  }
+
+  private val rawTextTags = Set("script", "style", "noscript", "template", "svg", "iframe")
+  private val boilerplateTags = Set("nav", "header", "footer", "aside", "form")
+  private val contentTags = Set("article", "main")
+  private val blockTags = Set(
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "td", "th", "tr", "table", "section", "article", "main", "blockquote",
+    "pre", "figure", "figcaption", "dd", "dt", "dl", "nav", "header",
+    "footer", "aside", "form", "body", "hr", "title")
+  private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  private final class Block {
+    val sb = new StringBuilder
+    var linkChars = 0
+    var inContent = false
+    var boilerplate = false
+    var heading = false
+  }
+
+  def extract(bytes: Array[Byte]): HtmlResult =
+    extract(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) // lossy by default
+
+  def extract(html: String): HtmlResult = {
+    val n = html.length
+    var i = 0
+
+    var title = ""
+    var inTitle = false
+    var boilerDepth = 0
+    var contentDepth = 0
+    var linkDepth = 0
+
+    val blocks = mutable.ArrayBuffer.empty[Block]
+    var current = new Block
+
+    def flushBlock(): Unit = {
+      if (current.sb.nonEmpty) blocks += current
+      current = new Block
+      current.inContent = contentDepth > 0
+      current.boilerplate = boilerDepth > 0
+    }
+
+    def appendText(raw: String): Unit = {
+      val decoded = decodeEntities(raw)
+      if (inTitle) {
+        title = collapseWs(title + " " + decoded)
+        return
+      }
+      var started = current.sb.nonEmpty
+      var k = 0
+      var lastWs = false
+      while (k < decoded.length) {
+        val c = decoded.charAt(k)
+        if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0x0b) {
+          lastWs = true
+        } else {
+          if (lastWs && started) {
+            current.sb.append(' ')
+            if (linkDepth > 0) current.linkChars += 1
+          }
+          current.sb.append(c)
+          if (linkDepth > 0) current.linkChars += 1
+          started = true
+          lastWs = false
+        }
+        k += 1
+      }
+      current.inContent = current.inContent || contentDepth > 0
+      current.boilerplate = current.boilerplate || boilerDepth > 0
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val end = html.indexOf("]]>", i + 9)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          // Parse a tag.
+          val close = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (close) 2 else 1)
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          val gtEnd = html.indexOf('>', j)
+          val tagEnd = if (gtEnd < 0) n else gtEnd + 1
+          if (name.isEmpty) {
+            // Broken tag like "< " or "<>": treat '<' as text.
+            appendText("<")
+            i += 1
+          } else if (!close && rawTextTags.contains(name)) {
+            // Skip the raw-text subtree: find the matching close tag.
+            val closeTag = "</" + name
+            val idx = indexOfIgnoreCase(html, closeTag, tagEnd)
+            if (idx < 0) i = n
+            else {
+              val gt = html.indexOf('>', idx)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else {
+            if (blockTags.contains(name)) flushBlock()
+            name match {
+              case "title" =>
+                inTitle = !close
+              case "a" =>
+                if (close) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
+              case t if boilerplateTags.contains(t) =>
+                if (close) boilerDepth = math.max(0, boilerDepth - 1) else boilerDepth += 1
+              case t if contentTags.contains(t) =>
+                if (close) contentDepth = math.max(0, contentDepth - 1) else contentDepth += 1
+              case _ => ()
+            }
+            if (!close && headingTags.contains(name)) current.heading = true
+            current.inContent = contentDepth > 0
+            current.boilerplate = boilerDepth > 0
+            i = tagEnd
+          }
+        }
+      } else {
+        val next = html.indexOf('<', i)
+        val end = if (next < 0) n else next
+        appendText(html.substring(i, end))
+        i = end
+      }
+    }
+    flushBlock()
+
+    val kept = blocks.toSeq.filter { b =>
+      val text = b.sb.toString
+      val len = text.length
+      if (b.boilerplate) false
+      else if (b.inContent) true
+      else {
+        val linkDensity = if (len == 0) 0.0 else b.linkChars.toDouble / len
+        if (linkDensity > 0.33) false
+        else if (b.heading) len >= 3
+        else len >= 25
+      }
+    }.map(_.sb.toString)
+
+    HtmlResult(title.trim, kept)
+  }
+
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val nl = needle.length
+    var i = math.max(0, from)
+    val limit = hay.length - nl
+    while (i <= limit) {
+      if (hay.regionMatches(true, i, needle, 0, nl)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def collapseWs(s: String): String =
+    s.split("[ \t\r\n\f]+").filter(_.nonEmpty).mkString(" ")
+
+  /** Basic entity decoding: the common named entities + numeric forms. */
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val ent = s.substring(i + 1, semi)
+          val decoded: String = ent match {
+            case "amp"  => "&"
+            case "lt"   => "<"
+            case "gt"   => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case e if e.startsWith("#x") || e.startsWith("#X") =>
+              try {
+                val cp = Integer.parseInt(e.substring(2), 16)
+                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else "�"
+              } catch { case _: Exception => null }
+            case e if e.startsWith("#") =>
+              try {
+                val cp = Integer.parseInt(e.substring(1))
+                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else "�"
+              } catch { case _: Exception => null }
+            case _ => null
+          }
+          if (decoded != null) { sb.append(decoded); i = semi + 1 }
+          else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

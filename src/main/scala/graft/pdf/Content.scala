@@ -1,0 +1,344 @@
+package graft.pdf
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import scala.collection.mutable
+
+import PdfObjs._
+
+/** One content-stream operation: accumulated params + the operand keyword. */
+final case class ContentOp(operand: String, params: mutable.ArrayBuffer[PdfObj])
+
+/** Content-stream lexer (pdf/contentstream/parser.go). Near-clone of the
+  * file-layer lexer with deliberate differences, all replicated here:
+  *  - input gets a trailing "\n" so the last operand terminates;
+  *  - EOF anywhere mid-token is a CLEAN end of stream (operand dropped);
+  *  - '+' does NOT start a number (it starts an operand);
+  *  - references "N G R" are not recognized;
+  *  - hex strings keep only hex chars (the file layer keeps all non-ws);
+  *  - "BI" triggers inline-image parsing with the <ws>EI<ws> state machine.
+  */
+final class ContentParser(content0: Array[Byte]) {
+  private val content = {
+    val c = new Array[Byte](content0.length + 1)
+    System.arraycopy(content0, 0, c, 0, content0.length)
+    c(content0.length) = '\n'
+    c
+  }
+  private val cur = new ByteCursor(content)
+
+  private def eofExit(): Nothing = throw new EofExit
+
+  /** Parse all operations (pdf/contentstream/parser.go:39-73). */
+  def parse(): mutable.ArrayBuffer[ContentOp] = {
+    val operations = mutable.ArrayBuffer.empty[ContentOp]
+    try {
+      while (true) {
+        val params = mutable.ArrayBuffer.empty[PdfObj]
+        var operand: String = null
+        while (operand == null) {
+          val (obj, isOperand) = parseObject()
+          if (isOperand) operand = new String(obj.asInstanceOf[PdfStr].bytes, ISO_8859_1)
+          else params += obj
+        }
+        val op = ContentOp(operand, params)
+        operations += op
+        if (operand == "BI") op.params += parseInlineImage()
+      }
+    } catch {
+      case _: EofExit => // successful exit point
+    }
+    operations
+  }
+
+  private def skipSpaces(): Unit = {
+    while (!cur.atEof && isWhiteSpace(cur.peekByte)) cur.readByte()
+  }
+
+  private def skipComments(): Unit = {
+    skipSpaces()
+    var isFirst = true
+    var done = false
+    while (!done) {
+      val b = cur.peekByte
+      if (b == -1) eofExit()
+      if (isFirst && b != '%') return
+      isFirst = false
+      if (b != '\r' && b != '\n') cur.readByte()
+      else done = true
+    }
+    skipComments()
+  }
+
+  /** parser.go:126-171: EOF tolerated; invalid start is a hard error. */
+  private def parseName(): PdfName = {
+    val r = new ByteArrayOutputStream()
+    var nameStarted = false
+    var done = false
+    while (!done) {
+      val b = cur.peekByte
+      if (b == -1) done = true
+      else if (!nameStarted) {
+        if (b == '/') { nameStarted = true; cur.readByte() }
+        else throw new PdfError(s"Invalid name: (${b.toChar})")
+      } else {
+        if (isWhiteSpace(b)) done = true
+        else if (b == '/' || b == '[' || b == '(' || b == ']' || b == '<' || b == '>') done = true
+        else if (b == '#') {
+          val hexcode = cur.peek(3)
+          if (hexcode.length < 3) eofExit()
+          cur.discard(3)
+          val hi = Character.digit(hexcode(1), 16); val lo = Character.digit(hexcode(2), 16)
+          if (hi < 0 || lo < 0) throw new PdfError("invalid hex escape in name")
+          r.write((hi << 4) | lo)
+        } else r.write(cur.readByte())
+      }
+    }
+    PdfName(new String(r.toByteArray, ISO_8859_1))
+  }
+
+  private def parseNumber(): PdfObj = ObjLexer.parseNumberFrom(cur)
+
+  /** parser.go:255-335. */
+  private def parseString(): PdfStr = {
+    cur.readByte()
+    val r = new ByteArrayOutputStream()
+    var count = 1
+    while (true) {
+      val pb = cur.peekByte
+      if (pb == -1) eofExit()
+      if (pb == '\\') {
+        cur.readByte()
+        val b = cur.readByte()
+        if (b == -1) eofExit()
+        if (isOctalDigit(b)) {
+          val bb = cur.peek(2)
+          if (bb.length < 2) eofExit()
+          var numeric = List(b)
+          var i = 0; var stop = false
+          while (i < bb.length && !stop) {
+            if (isOctalDigit(bb(i) & 0xff)) numeric = numeric :+ (bb(i) & 0xff) else stop = true
+            i += 1
+          }
+          cur.discard(numeric.length - 1)
+          val code = java.lang.Long.parseLong(numeric.map(_.toChar).mkString, 8)
+          r.write((code & 0xff).toInt)
+        } else {
+          b match {
+            case 'n' => r.write('\n')
+            case 'r' => r.write('\r')
+            case 't' => r.write('\t')
+            case 'b' => r.write('\b')
+            case 'f' => r.write('\f')
+            case '(' => r.write('(')
+            case ')' => r.write(')')
+            case '\\' => r.write('\\')
+            case _ => // unknown escape dropped
+          }
+        }
+      } else {
+        if (pb == '(') count += 1
+        else if (pb == ')') {
+          count -= 1
+          if (count == 0) { cur.readByte(); return new PdfStr(r.toByteArray) }
+        }
+        r.write(cur.readByte())
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** parser.go:338-369: ONLY hex chars are kept here. */
+  private def parseHexString(): PdfStr = {
+    cur.readByte()
+    val tmp = new StringBuilder
+    var done = false
+    while (!done) {
+      skipSpaces()
+      val b = cur.peekByte
+      if (b == -1) eofExit()
+      if (b == '>') { cur.readByte(); done = true }
+      else {
+        cur.readByte()
+        if ((b >= '0' && b <= '9') || (b >= 'a' && b <= 'f') || (b >= 'A' && b <= 'F'))
+          tmp.append(b.toChar)
+      }
+    }
+    if (tmp.length % 2 == 1) tmp.append('0')
+    new PdfStr(ObjLexer.hexDecodeLenient(tmp.toString))
+  }
+
+  private def parseArray(): PdfArr = {
+    val arr = PdfArr.empty
+    cur.readByte()
+    var done = false
+    while (!done) {
+      skipSpaces()
+      val b = cur.peekByte
+      if (b == -1) eofExit()
+      if (b == ']') { cur.readByte(); done = true }
+      else {
+        val (obj, _) = parseObject()
+        arr.items += obj
+      }
+    }
+    arr
+  }
+
+  private def parseBool(): PdfBool = {
+    var bb = cur.peek(4)
+    if (bb.length < 4) eofExit()
+    if (PdfPatterns.str(bb) == "true") { cur.discard(4); return PdfBool(true) }
+    bb = cur.peek(5)
+    if (bb.length < 5) eofExit()
+    if (PdfPatterns.str(bb) == "false") { cur.discard(5); return PdfBool(false) }
+    throw new PdfError("Unexpected boolean string")
+  }
+
+  private def parseNull(): PdfObj = { cur.discard(4); PdfNull }
+
+  /** parser.go:429-494 with the glued-null workaround. */
+  private def parseDict(): PdfDict = {
+    val dict = new PdfDict
+    if (cur.readByte() != '<') throw new PdfError("Invalid dict")
+    if (cur.readByte() != '<') throw new PdfError("Invalid dict")
+    var done = false
+    while (!done) {
+      skipSpaces()
+      val bb = cur.peek(2)
+      if (bb.length < 2) eofExit()
+      if ((bb(0) & 0xff) == '>' && (bb(1) & 0xff) == '>') {
+        cur.readByte(); cur.readByte(); done = true
+      } else {
+        val keyName = parseName().name
+        var handled = false
+        if (keyName.length > 4 && keyName.endsWith("null")) {
+          val newKey = keyName.substring(0, keyName.length - 4)
+          skipSpaces()
+          if (cur.peekByte == '/') { dict.set(newKey, PdfNull); handled = true }
+        }
+        if (!handled) {
+          skipSpaces()
+          val (v, _) = parseObject()
+          dict.set(keyName, v)
+        }
+      }
+    }
+    dict
+  }
+
+  /** parser.go:497-516: operand = run of non-ws non-delimiter bytes; EOF
+    * mid-operand drops the operand (clean stream end).
+    */
+  private def parseOperand(): PdfStr = {
+    val bytes = new ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val b = cur.peekByte
+      if (b == -1) eofExit()
+      if (isDelimiter(b) || isWhiteSpace(b)) done = true
+      else bytes.write(cur.readByte())
+    }
+    new PdfStr(bytes.toByteArray)
+  }
+
+  /** parser.go:521-591. Returns (object, isOperand). */
+  def parseObject(): (PdfObj, Boolean) = {
+    skipSpaces()
+    while (true) {
+      val bb = cur.peek(2)
+      if (bb.length < 2) eofExit()
+      val b0 = bb(0) & 0xff; val b1 = bb(1) & 0xff
+      if (b0 == '%') skipComments()
+      else if (b0 == '/') return (parseName(), false)
+      else if (b0 == '(') return (parseString(), false)
+      else if (b0 == '<' && b1 != '<') return (parseHexString(), false)
+      else if (b0 == '[') return (parseArray(), false)
+      else if (isFloatDigit(b0) || (b0 == '-' && isFloatDigit(b1))) return (parseNumber(), false)
+      else if (b0 == '<' && b1 == '<') return (parseDict(), false)
+      else {
+        val peekStr = PdfPatterns.str(cur.peek(5))
+        if (peekStr.length > 3 && peekStr.startsWith("null")) return (parseNull(), false)
+        if (peekStr.length > 4 && peekStr.startsWith("false")) return (parseBool(), false)
+        if (peekStr.length > 3 && peekStr.startsWith("true")) return (parseBool(), false)
+        val operand = parseOperand()
+        if (operand.bytes.length < 1) throw new PdfError("Invalid operand")
+        return (operand, true)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Inline image skip (pdf/contentstream/inline-image.go:303-458): property
+    * pairs with Table-93/94 abbreviations (unknown -> error), then the data
+    * scan for <ws>EI<ws> via the 4-state machine.
+    */
+  def parseInlineImage(): InlineImage = {
+    val props = new PdfDict
+    while (true) {
+      skipSpaces()
+      val (obj, isOperand) = parseObject()
+      if (!isOperand) {
+        val param = obj match {
+          case n: PdfName => n.name
+          case _ => throw new PdfError("Invalid inline image property (expecting name)")
+        }
+        val (valueObj, valIsOp) = parseObject()
+        if (valIsOp) throw new PdfError("Not expecting an operand")
+        param match {
+          case "BPC" | "BitsPerComponent" => props.set("BitsPerComponent", valueObj)
+          case "CS" | "ColorSpace"        => props.set("ColorSpace", valueObj)
+          case "D" | "Decode"             => props.set("Decode", valueObj)
+          case "DP" | "DecodeParms"       => props.set("DecodeParms", valueObj)
+          case "F" | "Filter"             => props.set("Filter", valueObj)
+          case "H" | "Height"             => props.set("Height", valueObj)
+          case "IM" | "ImageMask"         => props.set("ImageMask", valueObj)
+          case "Intent"                   => props.set("Intent", valueObj)
+          case "I" | "Interpolate"        => props.set("Interpolate", valueObj)
+          case "W" | "Width"              => props.set("Width", valueObj)
+          case other => throw new PdfError(s"Unknown inline image parameter $other")
+        }
+      } else {
+        val operand = new String(obj.asInstanceOf[PdfStr].bytes, ISO_8859_1)
+        if (operand == "EI") return new InlineImage(props, Array.emptyByteArray)
+        else if (operand == "ID") {
+          // Skip one whitespace byte if present.
+          val b = cur.peekByte
+          if (b == -1) eofExit()
+          if (isWhiteSpace(b)) cur.discard(1)
+          val stream = new ByteArrayOutputStream()
+          var state = 0
+          val skipBytes = new ByteArrayOutputStream()
+          while (true) {
+            val c = cur.readByte()
+            if (c == -1) eofExit() // "Unable to find end of image EI"
+            state match {
+              case 0 =>
+                if (isWhiteSpace(c)) { skipBytes.reset(); skipBytes.write(c); state = 1 }
+                else stream.write(c)
+              case 1 =>
+                skipBytes.write(c)
+                if (c == 'E') state = 2
+                else {
+                  skipBytes.writeTo(stream); skipBytes.reset()
+                  state = if (isWhiteSpace(c)) 1 else 0
+                }
+              case 2 =>
+                skipBytes.write(c)
+                if (c == 'I') state = 3
+                else { skipBytes.writeTo(stream); skipBytes.reset(); state = 0 }
+              case 3 =>
+                skipBytes.write(c)
+                if (isWhiteSpace(c)) return new InlineImage(props, stream.toByteArray)
+                else { skipBytes.writeTo(stream); skipBytes.reset(); state = 0 }
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
+        // Other operands between BI and ID: loop continues (reference behavior).
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

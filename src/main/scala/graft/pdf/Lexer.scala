@@ -1,0 +1,357 @@
+package graft.pdf
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.regex.Pattern
+
+import PdfObjs._
+
+/** Shared regexes of the file-layer parser. These mirror the reference's
+  * object-signature regexes (pdf/core/parser.go:23-33); `\s` is written as an
+  * explicit class to match Go's definition ([\t\n\f\r ]) rather than Java's.
+  */
+object PdfPatterns {
+  private final val S = "[\\t\\n\\f\\r ]"
+  val pdfVersion: Pattern = Pattern.compile("%PDF-(\\d)\\.(\\d)")
+  val eof: Pattern = Pattern.compile("%%EOF")
+  val xrefTable: Pattern = Pattern.compile(s"$S*xref$S*")
+  val startXref: Pattern = Pattern.compile(s"startx?ref$S*(\\d+)")
+  val numeric: Pattern = Pattern.compile("^[\\+-.]*([0-9.]+)")
+  val exponential: Pattern = Pattern.compile("^[\\+-.]*([0-9.]+)e[\\+-.]*([0-9.]+)")
+  val reference: Pattern = Pattern.compile(s"^$S*(\\d+)$S+(\\d+)$S+R")
+  val indirectObject: Pattern = Pattern.compile(s"(\\d+)$S+(\\d+)$S+obj")
+  val xrefSubsection: Pattern = Pattern.compile(s"(\\d+)$S+(\\d+)$S*$$")
+  val xrefEntry: Pattern = Pattern.compile(s"(\\d+)$S+(\\d+)$S+([nf])$S*$$")
+  val repairXrefTable: Pattern = Pattern.compile(s"[\\r\\n]$S*(xref)$S*[\\r\\n]")
+  val repairXrefStart: Pattern = Pattern.compile(s"${S}xref$S*")
+
+  /** Bytes→String for regex matching: latin-1 keeps a 1:1 byte↔char mapping. */
+  def str(b: Array[Byte]): String = new String(b, ISO_8859_1)
+}
+
+/** File-layer object lexer over a byte cursor. Faithful to the reference's
+  * PdfParser lexing productions (pdf/core/parser.go:74-645), including its
+  * quirks: unknown string escapes dropped, unparseable floats -> 0.0,
+  * hex strings keeping all non-whitespace bytes, glued "/Keynull" dict bug
+  * workaround, and the 15-byte peek dispatch order for numbers/references.
+  *
+  * Errors are thrown as PdfError; Go sites returning io.EOF that callers
+  * treat as fatal throw PdfError("EOF") here (document layer aborts anyway).
+  */
+final class ObjLexer(val cur: ByteCursor) {
+  import PdfPatterns._
+
+  /** pdf/core/parser.go:74-90 (EOF here surfaces at the next peek). */
+  def skipSpaces(): Int = {
+    var cnt = 0
+    var b = cur.readByte()
+    while (b != -1 && isWhiteSpace(b)) { cnt += 1; b = cur.readByte() }
+    if (b != -1) cur.unreadByte()
+    cnt
+  }
+
+  /** pdf/core/parser.go:93-120 (multi-line comments handled recursively). */
+  def skipComments(): Unit = {
+    skipSpaces()
+    var isFirst = true
+    var done = false
+    while (!done) {
+      val b = cur.peekByte
+      if (b == -1) throw new PdfError("EOF")
+      if (isFirst && b != '%') return
+      isFirst = false
+      if (b != '\r' && b != '\n') cur.readByte()
+      else done = true
+    }
+    skipComments()
+  }
+
+  /** pdf/core/parser.go:123-151. */
+  def readComment(): String = {
+    val r = new StringBuilder
+    skipSpaces()
+    var isFirst = true
+    var done = false
+    while (!done) {
+      val b = cur.peekByte
+      if (b == -1) throw new PdfError("EOF")
+      if (isFirst && b != '%') throw new PdfError("Comment should start with %")
+      isFirst = false
+      if (b != '\r' && b != '\n') r.append(cur.readByte().toChar)
+      else done = true
+    }
+    r.toString
+  }
+
+  /** pdf/core/parser.go:154-170. */
+  def readTextLine(): String = {
+    val r = new StringBuilder
+    var done = false
+    while (!done) {
+      val b = cur.peekByte
+      if (b == -1) throw new PdfError("EOF")
+      if (b != '\r' && b != '\n') r.append(cur.readByte().toChar)
+      else done = true
+    }
+    r.toString
+  }
+
+  /** pdf/core/parser.go:173-221. Name bytes accumulate raw (latin-1). */
+  def parseName(): PdfName = {
+    val r = new ByteArrayOutputStream()
+    var nameStarted = false
+    var done = false
+    while (!done) {
+      val b = cur.peekByte
+      if (b == -1) done = true // EOF tolerated (object streams)
+      else if (!nameStarted) {
+        if (b == '/') { nameStarted = true; cur.readByte() }
+        else if (b == '%') { readComment(); skipSpaces() }
+        else throw new PdfError(s"Invalid name: (${b.toChar})")
+      } else {
+        if (isWhiteSpace(b)) done = true
+        else if (b == '/' || b == '[' || b == '(' || b == ']' || b == '<' || b == '>') done = true
+        else if (b == '#') {
+          val hexcode = cur.peek(3)
+          if (hexcode.length < 3) throw new PdfError("EOF in name hex escape")
+          cur.discard(3)
+          val hi = Character.digit(hexcode(1), 16); val lo = Character.digit(hexcode(2), 16)
+          if (hi < 0 || lo < 0) throw new PdfError("invalid hex escape in name")
+          r.write((hi << 4) | lo)
+        } else r.write(cur.readByte())
+      }
+    }
+    PdfName(new String(r.toByteArray, ISO_8859_1))
+  }
+
+  /** pdf/core/parser.go:243-297: sign allowed at start and after 'e';
+    * '.'/'e' force float; unparseable float -> 0.0 silently; unparseable
+    * int -> error.
+    */
+  def parseNumber(): PdfObj = ObjLexer.parseNumberFrom(cur)
+
+  /** pdf/core/parser.go:300-380: balanced parens, octal escapes (1-3 digits),
+    * named escapes; UNKNOWN escape chars are dropped entirely (including the
+    * line-continuation backslash-newline case).
+    */
+  def parseString(): PdfStr = {
+    cur.readByte() // consume '('
+    val r = new ByteArrayOutputStream()
+    var count = 1
+    while (true) {
+      val pb = cur.peekByte
+      if (pb == -1) throw new PdfError("EOF in string")
+      if (pb == '\\') {
+        cur.readByte()
+        val b = cur.readByte()
+        if (b == -1) throw new PdfError("EOF in string escape")
+        if (isOctalDigit(b)) {
+          val bb = cur.peek(2)
+          if (bb.length < 2) throw new PdfError("EOF in string octal")
+          var numeric = List(b)
+          var i = 0
+          var stop = false
+          while (i < bb.length && !stop) {
+            if (isOctalDigit(bb(i) & 0xff)) numeric = numeric :+ (bb(i) & 0xff) else stop = true
+            i += 1
+          }
+          cur.discard(numeric.length - 1)
+          val code = java.lang.Long.parseLong(numeric.map(_.toChar).mkString, 8)
+          r.write((code & 0xff).toInt)
+        } else {
+          b match {
+            case 'n' => r.write('\n')
+            case 'r' => r.write('\r')
+            case 't' => r.write('\t')
+            case 'b' => r.write('\b')
+            case 'f' => r.write('\f')
+            case '(' => r.write('(')
+            case ')' => r.write(')')
+            case '\\' => r.write('\\')
+            case _ => // dropped entirely (reference switch falls through)
+          }
+        }
+      } else {
+        if (pb == '(') count += 1
+        else if (pb == ')') {
+          count -= 1
+          if (count == 0) { cur.readByte(); return new PdfStr(r.toByteArray) }
+        }
+        r.write(cur.readByte())
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** pdf/core/parser.go:384-411: keeps ALL non-whitespace bytes; non-hex
+    * bytes make the final hex decode fail silently -> empty result tail
+    * (the reference ignores hex.DecodeString's error).
+    */
+  def parseHexString(): PdfStr = {
+    cur.readByte() // consume '<'
+    val r = new StringBuilder
+    var done = false
+    while (!done) {
+      val b = cur.peekByte
+      if (b == -1) throw new PdfError("EOF in hex string")
+      if (b == '>') { cur.readByte(); done = true }
+      else {
+        cur.readByte()
+        if (!isWhiteSpace(b)) r.append(b.toChar)
+      }
+    }
+    if (r.length % 2 == 1) r.append('0')
+    new PdfStr(ObjLexer.hexDecodeLenient(r.toString))
+  }
+
+  /** pdf/core/parser.go:414-440. */
+  def parseArray(): PdfArr = {
+    val arr = PdfArr.empty
+    cur.readByte() // consume '['
+    var done = false
+    while (!done) {
+      skipSpaces()
+      val b = cur.peekByte
+      if (b == -1) throw new PdfError("EOF in array")
+      if (b == ']') { cur.readByte(); done = true }
+      else arr.items += parseObject()
+    }
+    arr
+  }
+
+  /** pdf/core/parser.go:443-463. */
+  def parseBool(): PdfBool = {
+    var bb = cur.peek(4)
+    if (bb.length >= 4 && PdfPatterns.str(bb) == "true") { cur.discard(4); return PdfBool(true) }
+    bb = cur.peek(5)
+    if (bb.length >= 5 && PdfPatterns.str(bb) == "false") { cur.discard(5); return PdfBool(false) }
+    throw new PdfError("Unexpected boolean string")
+  }
+
+  /** pdf/core/parser.go:484-487: null = discard 4 bytes. */
+  def parseNull(): PdfObj = { cur.discard(4); PdfNull }
+
+  /** pdf/core/parser.go:491-574. Dispatch order matters: null/false/true ->
+    * reference regex -> numeric regex -> exponential regex; reference
+    * consumed via read-until-'R'.
+    */
+  def parseObject(): PdfObj = {
+    skipSpaces()
+    while (true) {
+      val bb = cur.peek(2)
+      if (bb.length < 2) throw new PdfError("EOF parsing object")
+      val b0 = bb(0) & 0xff; val b1 = bb(1) & 0xff
+      if (b0 == '/') return parseName()
+      else if (b0 == '(') return parseString()
+      else if (b0 == '[') return parseArray()
+      else if (b0 == '<' && b1 == '<') return parseDict()
+      else if (b0 == '<') return parseHexString()
+      else if (b0 == '%') { readComment(); skipSpaces() }
+      else {
+        val peekStr = PdfPatterns.str(cur.peek(15))
+        if (peekStr.length > 3 && peekStr.startsWith("null")) return parseNull()
+        if (peekStr.length > 4 && peekStr.startsWith("false")) return parseBool()
+        if (peekStr.length > 3 && peekStr.startsWith("true")) return parseBool()
+        val mRef = reference.matcher(peekStr)
+        if (mRef.find()) {
+          // Consume through 'R' (reference: ReadBytes('R')).
+          val consumed = new StringBuilder
+          var c = cur.readByte()
+          while (c != -1 && c != 'R') { consumed.append(c.toChar); c = cur.readByte() }
+          if (c == -1) throw new PdfError("EOF reading reference")
+          consumed.append('R')
+          val m2 = reference.matcher(consumed.toString)
+          if (!m2.find()) throw new PdfError("Unable to parse reference")
+          return PdfRef(m2.group(1).toLong, m2.group(2).toLong)
+        }
+        if (numeric.matcher(peekStr).find()) return parseNumber()
+        if (exponential.matcher(peekStr).find()) return parseNumber()
+        throw new PdfError("Object parsing error - unexpected pattern")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** pdf/core/parser.go:578-645 including the glued "/Keynull" workaround. */
+  def parseDict(): PdfDict = {
+    val dict = new PdfDict
+    if (cur.readByte() != '<') throw new PdfError("Invalid dict")
+    if (cur.readByte() != '<') throw new PdfError("Invalid dict")
+    var done = false
+    while (!done) {
+      skipSpaces()
+      skipComments()
+      val bb = cur.peek(2)
+      if (bb.length < 2) throw new PdfError("EOF in dict")
+      if ((bb(0) & 0xff) == '>' && (bb(1) & 0xff) == '>') {
+        cur.readByte(); cur.readByte(); done = true
+      } else {
+        val keyName = parseName().name
+        var handled = false
+        if (keyName.length > 4 && keyName.endsWith("null")) {
+          val newKey = keyName.substring(0, keyName.length - 4)
+          skipSpaces()
+          if (cur.peekByte == '/') {
+            dict.set(newKey, PdfNull)
+            handled = true
+          }
+        }
+        if (!handled) {
+          skipSpaces()
+          dict.set(keyName, parseObject())
+        }
+      }
+    }
+    dict
+  }
+}
+
+object ObjLexer {
+  /** Shared numeric production (file layer and content layer are identical
+    * here; reference: pdf/core/parser.go:243-297 / contentstream/parser.go:193-252).
+    */
+  def parseNumberFrom(cur: ByteCursor): PdfObj = {
+    var isFloat = false
+    var allowSigns = true
+    val r = new StringBuilder
+    var done = false
+    while (!done) {
+      val b = cur.peekByte
+      if (b == -1) done = true // EOF handled like end of token
+      else if (allowSigns && (b == '-' || b == '+')) { r.append(cur.readByte().toChar); allowSigns = false }
+      else if (isDecimalDigit(b)) r.append(cur.readByte().toChar)
+      else if (b == '.') { r.append(cur.readByte().toChar); isFloat = true }
+      else if (b == 'e') { r.append(cur.readByte().toChar); isFloat = true; allowSigns = true }
+      else done = true
+    }
+    if (isFloat) {
+      val v = try r.toString.toDouble
+      catch { case _: NumberFormatException => 0.0 } // silently 0.0 (reference quirk)
+      PdfReal(v)
+    } else {
+      val v = try r.toString.toLong
+      catch { case _: NumberFormatException => throw new PdfError(s"invalid integer '$r'") }
+      PdfInt(v)
+    }
+  }
+
+  /** Lenient hex decode mirroring Go hex.DecodeString's behavior as used by
+    * the reference (error ignored -> decoded prefix kept... Go's DecodeString
+    * on error returns the bytes decoded so far; the reference keeps the
+    * result variable which in Go is the full-size buffer truncated at error).
+    * Go hex.DecodeString returns (decodedPrefix, err); unidoc ignores err and
+    * uses the prefix.
+    */
+  def hexDecodeLenient(s: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream(s.length / 2)
+    var i = 0
+    while (i + 1 < s.length) {
+      val hi = Character.digit(s.charAt(i), 16)
+      val lo = Character.digit(s.charAt(i + 1), 16)
+      if (hi < 0 || lo < 0) return out.toByteArray // stop at first invalid pair
+      out.write((hi << 4) | lo)
+      i += 2
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,447 @@
+package graft.pdf
+
+import scala.collection.mutable
+
+import PdfObjs._
+
+/** Colorspace model, trimmed to what the content-stream processor needs for
+  * text extraction: component counts, initial colors, and the error surface
+  * (an unknown/invalid colorspace aborts the whole page extraction, matching
+  * pdf/contentstream/processor.go:96-127 + extractor error propagation).
+  */
+sealed trait PdfColorspace { def numComponents: Int }
+case object CsDeviceGray extends PdfColorspace { val numComponents = 1 }
+case object CsDeviceRGB extends PdfColorspace { val numComponents = 3 }
+case object CsDeviceCMYK extends PdfColorspace { val numComponents = 4 }
+case object CsPattern extends PdfColorspace { val numComponents = 1 }
+case object CsCalGray extends PdfColorspace { val numComponents = 1 }
+case object CsCalRGB extends PdfColorspace { val numComponents = 3 }
+final case class CsLab(range: Array[Double]) extends PdfColorspace { val numComponents = 3 }
+final case class CsICCBased(n: Int, alternate: Option[PdfColorspace]) extends PdfColorspace {
+  val numComponents: Int = n
+}
+final case class CsIndexed(base: Option[PdfColorspace]) extends PdfColorspace { val numComponents = 1 }
+final case class CsSeparation(alternate: Option[PdfColorspace]) extends PdfColorspace { val numComponents = 1 }
+final case class CsDeviceN(n: Int, alternate: Option[PdfColorspace]) extends PdfColorspace {
+  val numComponents: Int = n
+}
+
+object PdfColorspace {
+  /** NewPdfColorspaceFromPdfObject equivalent (pdf/model/colorspace.go:58-146,
+    * 148-194): name forms for device/pattern spaces; array forms for the
+    * parameterized families. Unknown -> error.
+    */
+  def fromObject(obj0: PdfObj, resolve: PdfObj => PdfObj): PdfColorspace = {
+    var obj = obj0
+    obj match {
+      case io: PdfIndirect => obj = io.obj
+      case _               =>
+    }
+    obj match {
+      case r: PdfRef => obj = PdfObjs.traceToDirect(resolve(r))
+      case _         =>
+    }
+    obj match {
+      case PdfName(n) =>
+        n match {
+          case "DeviceGray" => CsDeviceGray
+          case "DeviceRGB"  => CsDeviceRGB
+          case "DeviceCMYK" => CsDeviceCMYK
+          case "Pattern"    => CsPattern
+          case "CalGray"    => CsCalGray
+          case "CalRGB"     => CsCalRGB
+          case "Lab"        => CsLab(Array(0, 100, -100, 100, -100, 100))
+          case _            => throw new PdfError(s"Unknown colorspace ($n)")
+        }
+      case arr: PdfArr if arr.length > 0 =>
+        PdfObjs.traceToDirect(resolve(arr(0))) match {
+          case PdfName(n) =>
+            n match {
+              case "DeviceGray" if arr.length == 1 => CsDeviceGray
+              case "DeviceRGB" if arr.length == 1  => CsDeviceRGB
+              case "DeviceCMYK" if arr.length == 1 => CsDeviceCMYK
+              case "CalGray"                       => CsCalGray
+              case "CalRGB"                        => CsCalRGB
+              case "Lab" =>
+                val range = Array(0.0, 100.0, -100.0, 100.0, -100.0, 100.0)
+                if (arr.length > 1) {
+                  PdfObjs.traceToDirect(resolve(arr(1))) match {
+                    case d: PdfDict =>
+                      d.get("Range") match {
+                        case ra: PdfArr if ra.length == 4 =>
+                          val vals = ra.items.map {
+                            case PdfInt(v)  => v.toDouble
+                            case PdfReal(v) => v
+                            case _          => throw new PdfError("Range invalid")
+                          }
+                          range(2) = vals(0); range(3) = vals(1)
+                          range(4) = vals(2); range(5) = vals(3)
+                        case null => ()
+                        case _    => throw new PdfError("Range invalid")
+                      }
+                    case _ =>
+                  }
+                }
+                CsLab(range)
+              case "ICCBased" =>
+                if (arr.length < 2) throw new PdfError("ICCBased missing stream")
+                PdfObjs.traceToDirect(resolve(arr(1))) match {
+                  case s: PdfStream =>
+                    val n = s.dict.get("N") match {
+                      case PdfInt(v) => v.toInt
+                      case _         => throw new PdfError("ICC Based colorspace invalid N")
+                    }
+                    val alt = s.dict.get("Alternate") match {
+                      case null => None
+                      case a    => Some(fromObject(a, resolve))
+                    }
+                    CsICCBased(n, alt)
+                  case _ => throw new PdfError("ICCBased not pointing to stream")
+                }
+              case "Pattern" =>
+                CsPattern
+              case "Indexed" =>
+                if (arr.length < 4) throw new PdfError("Indexed colorspace invalid")
+                CsIndexed(Some(fromObject(arr(1), resolve)))
+              case "Separation" =>
+                if (arr.length < 3) throw new PdfError("Separation colorspace invalid")
+                CsSeparation(Some(fromObject(arr(2), resolve)))
+              case "DeviceN" =>
+                if (arr.length < 3) throw new PdfError("DeviceN colorspace invalid")
+                val names = PdfObjs.traceToDirect(resolve(arr(1))) match {
+                  case na: PdfArr => na.length
+                  case _          => throw new PdfError("DeviceN names invalid")
+                }
+                CsDeviceN(names, Some(fromObject(arr(2), resolve)))
+              case other => throw new PdfError(s"Unknown colorspace ($other)")
+            }
+          case _ => throw new PdfError("Colorspace array first element not a name")
+        }
+      case _ => throw new PdfError("Unknown colorspace object")
+    }
+  }
+}
+
+/** Page resources (pdf/model/resources.go): for extraction only the /Font
+  * dictionary and the parsed /ColorSpace map matter.
+  */
+final class PdfResources(
+    val font: PdfObj, // raw /Font entry (dict or ref), traced on lookup
+    val colorspaceNames: Seq[String],
+    val colorspaces: Map[String, PdfColorspace],
+    val hasColorspaceDict: Boolean) {
+
+  /** GetFontByName (pdf/model/resources.go:217-233). */
+  def getFontByName(name: String): Option[PdfObj] = {
+    if (font == null) return None
+    PdfObjs.traceToDirect(font) match {
+      case d: PdfDict =>
+        d.get(name) match {
+          case null => None
+          case o    => Some(o)
+        }
+      case _ => None
+    }
+  }
+}
+
+object PdfResources {
+  val empty = new PdfResources(null, Nil, Map.empty, hasColorspaceDict = false)
+
+  /** NewPdfPageResourcesFromDict + colorspace-map construction
+    * (pdf/model/page.go:879-907). Colorspace parse errors propagate: they
+    * fail the page load, hence the document row.
+    */
+  def fromDict(dict: PdfDict, resolve: PdfObj => PdfObj): PdfResources = {
+    val font = dict.get("Font")
+    var names = mutable.ArrayBuffer.empty[String]
+    val csMap = mutable.HashMap.empty[String, PdfColorspace]
+    var hasCs = false
+    var csObj = dict.get("ColorSpace")
+    if (csObj != null && csObj != PdfNull) {
+      hasCs = true
+      csObj match {
+        case io: PdfIndirect => csObj = io.obj
+        case r: PdfRef       => csObj = PdfObjs.traceToDirect(resolve(r))
+        case _               =>
+      }
+      csObj match {
+        case d: PdfDict =>
+          for (k <- d.keys) {
+            names += k
+            csMap(k) = PdfColorspace.fromObject(d.get(k), resolve)
+          }
+        case _ => throw new PdfError("CS attribute type error")
+      }
+    }
+    new PdfResources(font, names.toSeq, csMap.toMap, hasCs)
+  }
+}
+
+/** One page: its resources and the raw Contents object. */
+final class PdfPage(val dict: PdfDict, val resources: PdfResources, val contents: PdfObj)
+
+/** Document model over the file parser: trailer -> catalog -> page tree with
+  * cycle guards and inherited Resources (pdf/model/reader.go:136-225,
+  * 509-595; pdf/model/page.go:87-310, 404-441).
+  */
+final class PdfDocument(val parser: PdfFileParser) {
+  private val traversed = java.util.Collections.newSetFromMap(
+    new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
+
+  val pages: Seq[PdfPage] = loadStructure()
+
+  private def resolve(o: PdfObj): PdfObj = o match {
+    case r: PdfRef => parser.lookup(r.num.toInt)
+    case other     => other
+  }
+
+  /** traceToObject: resolve reference chains with a circular guard
+    * (pdf/model/reader.go:228-252).
+    */
+  private def traceToObject(obj0: PdfObj): PdfObj = {
+    var obj = obj0
+    val seen = mutable.HashSet.empty[(Long, Long)]
+    while (obj.isInstanceOf[PdfRef]) {
+      val r = obj.asInstanceOf[PdfRef]
+      if (seen.contains((r.num, r.gen))) throw new PdfError("Circular reference")
+      seen += ((r.num, r.gen))
+      obj = parser.lookup(r.num.toInt)
+    }
+    obj
+  }
+
+  private def loadStructure(): Seq[PdfPage] = {
+    if (parser.isEncrypted)
+      throw new PdfError("encrypted document: decryption not supported")
+    val trailerDict = parser.trailer
+    if (trailerDict == null) throw new PdfError("Missing trailer")
+    val root = trailerDict.get("Root") match {
+      case r: PdfRef => r
+      case _         => throw new PdfError("Invalid Root (trailer)")
+    }
+    val catalog = parser.lookup(root.num.toInt) match {
+      case io: PdfIndirect =>
+        io.obj match {
+          case d: PdfDict => d
+          case _          => throw new PdfError("Invalid catalog")
+        }
+      case _ => throw new PdfError("Missing catalog")
+    }
+    val pagesRef = catalog.get("Pages") match {
+      case r: PdfRef => r
+      case _         => throw new PdfError("Pages in catalog should be a reference")
+    }
+    val ppages = parser.lookup(pagesRef.num.toInt) match {
+      case io: PdfIndirect => io
+      case _               => throw new PdfError("Pages object invalid")
+    }
+    val pagesDict = ppages.obj match {
+      case d: PdfDict => d
+      case _          => throw new PdfError("Pages object invalid")
+    }
+    pagesDict.get("Count") match {
+      case PdfInt(_) => ()
+      case _         => throw new PdfError("Pages count invalid")
+    }
+    val out = mutable.ArrayBuffer.empty[PdfPage]
+    val visited = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
+    buildPageList(ppages, null, visited, out)
+    out.toSeq
+  }
+
+  /** pdf/model/reader.go:509-595. */
+  private def buildPageList(node: PdfIndirect, parent: PdfIndirect,
+                            visited: java.util.Set[PdfObj],
+                            out: mutable.ArrayBuffer[PdfPage]): Unit = {
+    if (node == null) return
+    if (visited.contains(node)) return // cyclic recursion: skip
+    visited.add(node)
+    val nodeDict = node.obj match {
+      case d: PdfDict => d
+      case _          => throw new PdfError("Node not a dictionary")
+    }
+    val objType = nodeDict.get("Type") match {
+      case PdfName(n) => n
+      case _          => throw new PdfError("Node missing Type (Required)")
+    }
+    if (objType == "Page") {
+      if (parent != null) nodeDict.set("Parent", parent)
+      out += newPageFromDict(nodeDict)
+      return
+    }
+    if (objType != "Pages")
+      throw new PdfError("Table of content containing non Page/Pages object!")
+    if (parent != null) nodeDict.set("Parent", parent)
+    traverseObjectData(node)
+    val kidsObj = parser.trace(nodeDict.get("Kids") match {
+      case null => throw new PdfError("Invalid Kids object")
+      case k    => k
+    })
+    val kids = kidsObj match {
+      case a: PdfArr => a
+      case io: PdfIndirect =>
+        io.obj match {
+          case a: PdfArr => a
+          case _         => throw new PdfError("Invalid Kids indirect object")
+        }
+      case _ => throw new PdfError("Invalid Kids object")
+    }
+    for (child <- kids.items) {
+      child match {
+        case io: PdfIndirect => buildPageList(io, node, visited, out)
+        case _               => throw new PdfError("Page not indirect object")
+      }
+    }
+  }
+
+  /** In-place recursive reference resolution with a visited guard
+    * (pdf/model/reader.go:627-701).
+    */
+  private def traverseObjectData(o: PdfObj): Unit = {
+    if (o == null || traversed.contains(o)) return
+    traversed.add(o)
+    o match {
+      case io: PdfIndirect => traverseObjectData(io.obj)
+      case so: PdfStream   => traverseObjectData(so.dict)
+      case dict: PdfDict =>
+        for (name <- dict.keys) {
+          dict.get(name) match {
+            case ref: PdfRef =>
+              val resolved = parser.lookup(ref.num.toInt)
+              dict.set(name, resolved)
+              traverseObjectData(resolved)
+            case v => traverseObjectData(v)
+          }
+        }
+      case arr: PdfArr =>
+        var i = 0
+        while (i < arr.length) {
+          arr(i) match {
+            case ref: PdfRef =>
+              val resolved = parser.lookup(ref.num.toInt)
+              arr(i) = resolved
+              traverseObjectData(resolved)
+            case v => traverseObjectData(v)
+          }
+          i += 1
+        }
+      case _: PdfRef => throw new PdfError("Reader tracing a reference!")
+      case _         => ()
+    }
+  }
+
+  /** newPdfPageFromDict, trimmed to extraction-relevant attributes:
+    * Type check, Resources (with the Parent-chain inheritance of
+    * page.go:404-441), MediaBox validation, Contents.
+    */
+  private def newPageFromDict(d: PdfDict): PdfPage = {
+    d.get("Type") match {
+      case PdfName("Page") => ()
+      case PdfName(_)      => throw new PdfError("Page dictionary Type != Page")
+      case _               => throw new PdfError("Missing/Invalid Page dictionary Type")
+    }
+    val resources: PdfResources = d.get("Resources") match {
+      case null =>
+        inheritedResources(d) match {
+          case Some(r) => r
+          case None    => PdfResources.empty
+        }
+      case robj =>
+        PdfObjs.traceToDirect(traceToObject(robj)) match {
+          case rd: PdfDict => PdfResources.fromDict(rd, resolve)
+          case _           => throw new PdfError("Invalid resource dictionary")
+        }
+    }
+    // MediaBox validation (errors on malformed boxes propagate, page.go:366-401).
+    d.get("MediaBox") match {
+      case null => ()
+      case mb =>
+        PdfObjs.traceToDirect(traceToObject(mb)) match {
+          case a: PdfArr if a.length == 4 =>
+            a.items.foreach {
+              case PdfInt(_) | PdfReal(_) => ()
+              case _: PdfRef              => () // resolved lazily in the reference
+              case _                      => throw new PdfError("MediaBox invalid")
+            }
+          case _ => throw new PdfError("MediaBox not an array / wrong length")
+        }
+    }
+    new PdfPage(d, resources, d.get("Contents"))
+  }
+
+  /** Inherited resources via the Parent chain (pdf/model/page.go:404-441). */
+  private def inheritedResources(d: PdfDict): Option[PdfResources] = {
+    var node = d.get("Parent")
+    while (node != null) {
+      val dict = node match {
+        case io: PdfIndirect =>
+          io.obj match {
+            case pd: PdfDict => pd
+            case _           => throw new PdfError("Invalid parent objects dictionary")
+          }
+        case _ => throw new PdfError("Invalid parent object")
+      }
+      dict.get("Resources") match {
+        case null => ()
+        case robj =>
+          PdfObjs.traceToDirect(robj) match {
+            case rd: PdfDict => return Some(PdfResources.fromDict(rd, resolve))
+            case _           => throw new PdfError("Invalid resource dict!")
+          }
+      }
+      node = dict.get("Parent")
+    }
+    None
+  }
+
+  /** getContentStreamAsString (pdf/model/page.go:802-816): a content holder
+    * is either a direct string or a stream to decode.
+    */
+  private def contentStreamBytes(cstreamObj: PdfObj): Array[Byte] = {
+    val resolved = PdfObjs.traceToDirect(resolve(cstreamObj)) match {
+      case null  => throw new PdfError("Invalid content stream object holder")
+      case other => other
+    }
+    resolved match {
+      case s: PdfStr    => s.bytes
+      case st: PdfStream => Filters.decodeStream(st, identity)
+      case _            => throw new PdfError("Invalid content stream object holder")
+    }
+  }
+
+  /** GetAllContentStreams (pdf/model/page.go:819-854): decode every content
+    * stream of the page and join with a single space.
+    */
+  def allContentStreams(page: PdfPage): Array[Byte] = {
+    if (page.contents == null) return Array.emptyByteArray
+    val contents = PdfObjs.traceToDirect(resolve(page.contents))
+    val parts: Seq[Array[Byte]] = contents match {
+      case arr: PdfArr => arr.items.toSeq.map(contentStreamBytes)
+      case _           => Seq(contentStreamBytes(contents))
+    }
+    if (parts.isEmpty) Array.emptyByteArray
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      var first = true
+      for (p <- parts) {
+        if (!first) out.write(' ')
+        out.write(p)
+        first = false
+      }
+      out.toByteArray
+    }
+  }
+
+  def resolveObj(o: PdfObj): PdfObj = resolve(o)
+}
+
+object PdfDocument {
+  /** Open a document from raw bytes: xrefs + trailer + page tree. */
+  def open(data: Array[Byte]): PdfDocument = {
+    val p = new PdfFileParser(data)
+    p.load()
+    new PdfDocument(p)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.html
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Extract
+import graft.fixtures.PdfFixtures
+
+/** HTML fixtures h01-h05 (FIXTURES.md §4; goldens are self-defined — the
+  * reference has no HTML code).
+  */
+class HtmlSpec extends AnyFunSuite {
+
+  test("h01: title + article paragraphs kept, boilerplate stripped") {
+    val paras = Seq(
+      "This is the first paragraph of the main content, long enough to matter.",
+      "A second paragraph with further substantive content for the reader.",
+      "And a third one closing out the article body with more words.")
+    val page = PdfFixtures.htmlPage("Test Article Title", paras)
+    val res = HtmlExtract.extract(page)
+    assert(res.title == "Test Article Title")
+    assert(res.blocks == paras)
+    assert(!res.text.contains("Site Header Boilerplate"))
+    assert(!res.text.contains("Copyright 2026"))
+    assert(!res.text.contains("Home"))
+  }
+
+  test("h02: link-farm sidebar dropped, long-text main kept") {
+    val html =
+      """<html><body>
+        |<div><a href="/a">one link</a> <a href="/b">two links</a> <a href="/c">three links</a></div>
+        |<div>This long paragraph has no links at all and plenty of text characters to be kept by the scorer.</div>
+        |</body></html>""".stripMargin
+    val res = HtmlExtract.extract(html)
+    assert(res.blocks.length == 1)
+    assert(res.blocks.head.startsWith("This long paragraph"))
+  }
+
+  test("h03: script/style/comments never leak") {
+    val html =
+      """<html><head><style>.x { color: red }</style>
+        |<script>document.write("<p>injected super long content that would otherwise be kept</p>");</script>
+        |</head><body><!-- a comment with plenty of text inside it should vanish -->
+        |<p>Real visible content of reasonable length stays in the output.</p>
+        |</body></html>""".stripMargin
+    val res = HtmlExtract.extract(html)
+    assert(res.blocks == Seq("Real visible content of reasonable length stays in the output."))
+    assert(!res.text.contains("injected"))
+    assert(!res.text.contains("color"))
+    assert(!res.text.contains("comment"))
+  }
+
+  test("h04: deeply nested DOM terminates") {
+    val sb = new StringBuilder("<html><body>")
+    for (_ <- 1 to 1000) sb.append("<div>")
+    sb.append("<p>Deep content that is long enough to be kept by the heuristic.</p>")
+    for (_ <- 1 to 1000) sb.append("</div>")
+    sb.append("</body></html>")
+    val res = HtmlExtract.extract(sb.toString)
+    assert(res.blocks.exists(_.contains("Deep content")))
+  }
+
+  test("h05: non-UTF8 bytes and broken tags are tolerated deterministically") {
+    val bytes = ("<html><body><p>Valid text padded to keep-length for the heuristic here." +
+      "</p><p>broken < tag and stray bytes: ").getBytes(UTF_8) ++
+      Array[Byte](0xfe.toByte, 0xff.toByte, 0x41) ++ "</p></body></html>".getBytes(UTF_8)
+    val r1 = Extract(bytes)
+    val r2 = Extract(bytes)
+    assert(r1.status == "ok")
+    assert(r1.textBytes.sameElements(r2.textBytes))
+    assert(r1.text.contains("Valid text"))
+  }
+
+  test("entities decode") {
+    val html = "<html><body><article><p>a &amp; b &lt;c&gt; &quot;d&quot; &#65; &#x42;</p></article></body></html>"
+    val res = HtmlExtract.extract(html)
+    assert(res.blocks == Seq("a & b <c> \"d\" A B"))
+  }
+
+  test("html dispatch through Extract: spans cover lines") {
+    val page = PdfFixtures.htmlSimple("Single paragraph round trip content here.")
+    val r = Extract(page)
+    assert(r.status == "ok")
+    assert(r.text == "Single paragraph round trip content here.")
+    assert(r.spans.length == 1)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CMap goldens ported from /root/reference/pdf/internal/cmap/cmap_test.go. */
+class CMapSpec extends AnyFunSuite {
+
+  val cmap1Data: String =
+    """
+/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo
+<<  /Registry (Adobe)
+/Ordering (UCS)
+/Supplement 0
+>> def
+/CMapName /Adobe-Identity-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+8 beginbfchar
+<0003> <0020>
+<0007> <0024>
+<0033> <0050>
+<0035> <0052>
+<0037> <0054>
+<005A> <0077>
+<005C> <0079>
+<005F> <007C>
+endbfchar
+7 beginbfrange
+<000F> <0017> <002C>
+<001B> <001D> <0038>
+<0025> <0026> <0042>
+<002F> <0031> <004C>
+<0044> <004C> <0061>
+<004F> <0053> <006C>
+<0055> <0057> <0072>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+  test("Adobe-Identity-UCS cmap goldens") {
+    val cmap = CMapParser.load(cmap1Data.getBytes(ISO_8859_1))
+    assert(cmap.name == "Adobe-Identity-UCS")
+    assert(cmap.ctype == 2)
+    assert(cmap.codespaces.length == 1)
+    assert(cmap.codespaces(0)._2 == 0L)
+    assert(cmap.codespaces(0)._3 == 0xffffL)
+
+    val expectedMappings: Map[Long, Int] = Map(
+      0x0003L -> 0x0020, 0x005fL -> 0x007c,
+      0x000fL -> 0x002c, (0x000f + 5).toLong -> (0x002c + 5),
+      0x001bL -> 0x0038, (0x001b + 2).toLong -> (0x0038 + 2),
+      0x002fL -> 0x004c, 0x0044L -> 0x0061,
+      0x004fL -> 0x006c, 0x0055L -> 0x0072)
+    for ((code, rune) <- expectedMappings) {
+      val got = new String(cmap.charcodeToUnicode(code), UTF_8)
+      assert(got == new String(Character.toChars(rune)), f"code 0x$code%04X")
+    }
+    assert(new String(cmap.charcodeToUnicode(0x99), UTF_8) == "?")
+
+    val s = cmap.charcodeBytesToUnicode(Array[Byte](0x00, 0x03, 0x00, 0x0f))
+    assert(new String(s, UTF_8) == " ,")
+  }
+
+  test("charcode miss emits nothing for those bytes") {
+    val cmap = CMapParser.load(cmap1Data.getBytes(ISO_8859_1))
+    // An unmapped greedy run consumes up to 4 bytes and contributes NOTHING
+    // (cmap.go:50-78); the following <0003> still maps to a space.
+    val s = cmap.charcodeBytesToUnicode(
+      Array[Byte](0x00, 0x99.toByte, 0x00, 0x03, 0x00, 0x03))
+    assert(new String(s, UTF_8) == " ")
+    // Fully-unmapped input yields empty output.
+    val s2 = cmap.charcodeBytesToUnicode(Array[Byte](0xff.toByte, 0xff.toByte, 0x00, 0x03))
+    assert(new String(s2, UTF_8) == "")
+  }
+
+  test("bfrange with out-of-range target encodes U+FFFD like Go") {
+    val data =
+      """1 begincodespacerange
+<00000000> <FFFFFFFF>
+endcodespacerange
+1 beginbfrange
+<00000001> <00000001> <FFFFFFFF>
+endbfrange
+""".getBytes(ISO_8859_1)
+    val cmap = CMapParser.load(data)
+    val got = cmap.codeMap(3)(1L)
+    assert(got.sameElements(Array[Byte](0xef.toByte, 0xbf.toByte, 0xbd.toByte)))
+  }
+}

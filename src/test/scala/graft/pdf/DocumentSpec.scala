@@ -1,0 +1,203 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Extract
+import graft.fixtures.PdfFixtures
+
+/** Whole-file goldens: minimal.pdf byte-identity (hand-traced expected text
+  * per FIXTURES.md §3), the synthetic corpus s01-s17, and the reference's
+  * checked-in PDFs as parse-don't-crash + determinism gates.
+  */
+class DocumentSpec extends AnyFunSuite {
+
+  private def refFile(name: String): Option[Array[Byte]] = {
+    val p = Paths.get(s"/root/reference/testfiles/$name")
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  test("minimal.pdf: xref offsets and golden text 'Hello World'") {
+    refFile("minimal.pdf") match {
+      case None => cancel("reference testfiles not available")
+      case Some(bytes) =>
+        val parser = new PdfFileParser(bytes)
+        parser.load()
+        // Offsets asserted in the reference's (commented) parser_test.go:684-798.
+        assert(parser.xrefs(1).offset == 18)
+        assert(parser.xrefs(2).offset == 77)
+        assert(parser.xrefs(3).offset == 178)
+        assert(parser.xrefs(4).offset == 457)
+        val r = Extract(bytes)
+        assert(r.status == "ok", r.error)
+        assert(r.text == "Hello World")
+        assert(r.spans == Seq(graft.Span(0, 0, 11)))
+    }
+  }
+
+  test("lorem.pdf and templates1.pdf: parse, deterministic across runs") {
+    for (name <- Seq("lorem.pdf", "templates1.pdf")) {
+      refFile(name) match {
+        case None => cancel("reference testfiles not available")
+        case Some(bytes) =>
+          val r1 = Extract(bytes)
+          val r2 = Extract(bytes)
+          assert(r1.status == r2.status, s"$name status")
+          assert(r1.textBytes.sameElements(r2.textBytes), s"$name determinism")
+          assert(r1.status == "ok", s"$name: ${r1.error}")
+          assert(r1.textBytes.nonEmpty, s"$name extracted nothing")
+      }
+    }
+  }
+
+  test("s01 classic xref -> verbatim text") {
+    val r = Extract(PdfFixtures.s01("Hello World"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "Hello World")
+  }
+
+  test("s01 round-trips arbitrary text incl. escapes and UTF-8") {
+    val text = "Weird (text) with \\ backslash, tabs\tand ünïcödé ☂"
+    val r = Extract(PdfFixtures.s01(text))
+    assert(r.status == "ok", r.error)
+    assert(r.text == text)
+  }
+
+  test("s02 Td ty<0 -> newline") {
+    val r = Extract(PdfFixtures.s02())
+    assert(r.text == "line1\nline2")
+  }
+
+  test("s03 Td tx>0 -> space") {
+    val r = Extract(PdfFixtures.s03())
+    assert(r.text == "a b")
+  }
+
+  test("s04 Tm rules") {
+    val r = Extract(PdfFixtures.s04())
+    assert(r.text == "r1c1\tr1c2\nr2c1")
+  }
+
+  test("s05 TJ kern rule") {
+    val r = Extract(PdfFixtures.s05())
+    assert(r.text == "to kernjoined")
+  }
+
+  test("s06 flate content stream") {
+    val r = Extract(PdfFixtures.s06("Compressed content works"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "Compressed content works")
+  }
+
+  test("s07 xref stream + object stream + PNG predictor") {
+    val r = Extract(PdfFixtures.s07("From an object stream"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "From an object stream")
+  }
+
+  test("s08 ToUnicode CMap mapping") {
+    val r = Extract(PdfFixtures.s08())
+    assert(r.status == "ok", r.error)
+    assert(r.text == "AB☺")
+  }
+
+  test("s09 content array joined with space") {
+    val r = Extract(PdfFixtures.s09("part1", "part2"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "part1part2") // NB: the joiner space sits BETWEEN streams,
+    // i.e. "...Tj ET BT...": no text op emits it, so extracted text is glued.
+  }
+
+  test("s10 quote ops and Do dropped") {
+    val r = Extract(PdfFixtures.s10())
+    assert(r.status == "ok", r.error)
+    assert(r.text == "kept")
+  }
+
+  test("s11 multi-filter content stream") {
+    val r = Extract(PdfFixtures.s11("Multi filter content"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "Multi filter content")
+  }
+
+  test("s12 broken startxref repaired") {
+    val r = Extract(PdfFixtures.s12("Repaired just fine"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "Repaired just fine")
+  }
+
+  test("s13 glued trailer<<") {
+    val r = Extract(PdfFixtures.s13("Glued trailer"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "Glued trailer")
+  }
+
+  test("s14 oversized /Length corrected via next-xref heuristic") {
+    val r = Extract(PdfFixtures.s14("Length corrected"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "Length corrected")
+  }
+
+  test("s15 inline image before text") {
+    val r = Extract(PdfFixtures.s15("after image"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "after image")
+  }
+
+  test("s16 unknown colorspace -> partial text + error status") {
+    val r = Extract(PdfFixtures.s16())
+    assert(r.status == "error")
+    assert(r.text == "partial")
+    assert(r.error.contains("Unsupported colorspace"))
+  }
+
+  test("s17 oversize doc -> skipped_oversize") {
+    val r = Extract(PdfFixtures.s01("x"), maxBytesPerDoc = 10)
+    assert(r.status == "skipped_oversize")
+  }
+
+  test("two pages joined with newline + spans") {
+    val r = Extract(PdfFixtures.twoPages("page one", "page two"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "page one\npage two")
+    assert(r.spans == Seq(graft.Span(0, 0, 8), graft.Span(1, 9, 17)))
+  }
+
+  test("resources inherited from Pages node") {
+    val r = Extract(PdfFixtures.inheritedResources("inherited"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "inherited")
+  }
+
+  test("cyclic page tree terminates") {
+    // Kids pointing back at an ancestor: the visited set must stop recursion.
+    val bld = new PdfFixtures.Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 2 >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources ${PdfFixtures.defaultResources} /Contents 4 0 R >>")
+    val c = "BT (cyclic ok) Tj ET".getBytes(UTF_8)
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    val r = Extract(bld.build())
+    assert(r.status == "ok", r.error)
+    assert(r.text == "cyclic ok")
+  }
+
+  test("encrypted document -> error status") {
+    val bld = new PdfFixtures.Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [] /Count 0 >>")
+    val bytes = bld.build()
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val withEnc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    val r = Extract(withEnc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(r.status == "error")
+    assert(r.error.contains("encrypted"))
+  }
+
+  test("garbage payload -> error status, never a throw") {
+    val r = Extract("%PDF-1.4 garbage no structure".getBytes(UTF_8))
+    assert(r.status == "error")
+  }
+}
