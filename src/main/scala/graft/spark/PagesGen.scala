@@ -1,0 +1,85 @@
+package graft.spark
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.fixtures.PdfFixtures
+
+/** Deterministic synthesis of the Common-Crawl-shaped `pages` input table
+  * (url, warc_ts, html binary, text, lang) from the driver's `documents`
+  * parquet. No external data: payloads are built per row from the document
+  * text by the fixture builders, so the expected extraction output is known
+  * by construction. Payload variant rotates by doc_id so the corpus
+  * exercises classic xref, flate, xref-stream+objstm, multi-filter, and the
+  * HTML branch.
+  */
+object PagesGen {
+
+  val BaseTs = 1767225600000L // 2026-01-01T00:00:00Z
+
+  /** Deterministic payload for one document. */
+  def payloadFor(docId: Long, text: String, variant: Int): Array[Byte] = variant match {
+    case 0 => PdfFixtures.s01(text)          // classic xref, raw content
+    case 1 => PdfFixtures.s06(text)          // FlateDecode content
+    case 2 => PdfFixtures.s07(text)          // xref stream + objstm + predictor
+    case 3 => PdfFixtures.s11(text)          // multi-filter [A85, Flate]
+    case _ => PdfFixtures.htmlSimple(text)   // HTML branch
+  }
+
+  /** pages table with PDF payloads only (for exact byte round-trip checks). */
+  def pagesPdf(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        PageRow(f"https://fixtures.test/doc-$id%06d",
+          new Timestamp(BaseTs + id), payloadFor(id, text, (id % 4).toInt), "", lang)
+      }
+  }
+
+  /** pages table with HTML payloads only. */
+  def pagesHtml(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        PageRow(f"https://fixtures.test/html-$id%06d",
+          new Timestamp(BaseTs + id), PdfFixtures.htmlSimple(text), "", lang)
+      }
+  }
+
+  /** Mixed corpus (PDF variants + HTML), rotation by doc_id. */
+  def pagesMixed(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        PageRow(f"https://fixtures.test/doc-$id%06d",
+          new Timestamp(BaseTs + id), payloadFor(id, text, (id % 5).toInt), "", lang)
+      }
+  }
+
+  /** Small smoke table mixing good docs, duplicates, an error doc, and an
+    * oversize doc (FIXTURES.md §5 t1).
+    */
+  def smokeTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      PageRow("https://t/ok-pdf", new Timestamp(BaseTs), PdfFixtures.s01("Hello World"), "", "en"),
+      PageRow("https://t/ok-flate", new Timestamp(BaseTs), PdfFixtures.s06("compressed"), "", "en"),
+      PageRow("https://t/ok-html", new Timestamp(BaseTs),
+        PdfFixtures.htmlPage("Title", Seq("A paragraph long enough to be kept by the scorer.")), "", "en"),
+      // duplicate url: later capture must win
+      PageRow("https://t/dup", new Timestamp(BaseTs), PdfFixtures.s01("old capture"), "", "en"),
+      PageRow("https://t/dup", new Timestamp(BaseTs + 1000), PdfFixtures.s01("new capture"), "", "en"),
+      PageRow("https://t/err", new Timestamp(BaseTs), PdfFixtures.s16(), "", "en"),
+      PageRow("https://t/oversize", new Timestamp(BaseTs),
+        PdfFixtures.s01("x" * 1024), "", "en"), // caught by a small cap in tests
+      PageRow("https://t/empty", new Timestamp(BaseTs), Array.emptyByteArray, "", "en"))
+    rows.toDF()
+  }
+}

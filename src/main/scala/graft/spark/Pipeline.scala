@@ -1,0 +1,106 @@
+package graft.spark
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+import graft.Extract
+
+/** The extraction pipeline: scan -> dedup-by-url -> salt/partition ->
+  * mapPartitions kernel -> extracted rows (+ per-partition lineage).
+  *
+  * Scale design (SURVEY.md §2.10, §4.3):
+  *  - dedup keeps the LATEST capture per url (window by warc_ts desc) — one
+  *    shuffle on url, unavoidable for the semantics;
+  *  - the kernel runs inside ONE typed mapPartitions (no shuffle): a pure
+  *    Array[Byte] -> ExtractResult function per row, failure-isolated;
+  *  - skew: docs are spread by hashing url (uniform mix of sizes per
+  *    partition beats range-by-size, which would cluster the whales);
+  *    per-doc byte cap (skipped_oversize) bounds the worst straggler;
+  *  - lineage: accumulated per task partition (one row per partition —
+  *    thousands of rows at cluster scale, trivially collectible).
+  */
+object Pipeline {
+
+  val DefaultMaxBytesPerDoc: Int = Extract.DefaultMaxBytesPerDoc
+
+  /** Keep the latest capture per url (SURVEY §2.10 dedup). */
+  def dedupLatest(pages: DataFrame): DataFrame = {
+    val w = Window.partitionBy("url").orderBy(col("warc_ts").desc)
+    pages
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Run extraction over a pages DataFrame. Returns the extracted Dataset;
+    * lineage rows are collected into `lineageAcc` when provided.
+    */
+  def extract(
+      spark: SparkSession,
+      pages: DataFrame,
+      runId: String,
+      numPartitions: Int = 0,
+      maxBytesPerDoc: Int = DefaultMaxBytesPerDoc,
+      lineageAcc: CollectionAccumulator[LineageRow] = null): Dataset[ExtractedRow] = {
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val typed = pages
+      .select("url", "warc_ts", "html", "text", "lang")
+      .as[PageRow]
+      // Uniform spread by url hash: each partition gets a mix of doc sizes.
+      .repartition(parts, col("url"))
+
+    typed.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val startedAt = System.currentTimeMillis()
+      var inputRows = 0L
+      var okRows = 0L
+      var errRows = 0L
+      var bytesIn = 0L
+      var bytesOut = 0L
+      val out = it.map { row =>
+        inputRows += 1
+        val payload = row.html
+        bytesIn += (if (payload == null) 0 else payload.length)
+        val r = Extract(payload, maxBytesPerDoc)
+        bytesOut += r.textBytes.length
+        if (r.status == "ok") okRows += 1 else if (r.status == "error") errRows += 1
+        ExtractedRow(
+          url = row.url,
+          warc_ts = row.warc_ts,
+          text = r.text,
+          text_bytes = r.textBytes,
+          spans = r.spans.map(s => SpanRow(s.page, s.start, s.end)),
+          status = r.status,
+          error = r.error,
+          partition_id = pid)
+      }
+      // Wrap to flush lineage once the partition is fully consumed.
+      new Iterator[ExtractedRow] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && lineageAcc != null && inputRows >= 0) flush()
+          h
+        }
+        def next(): ExtractedRow = out.next()
+        private var flushed = false
+        private def flush(): Unit = if (!flushed) {
+          flushed = true
+          lineageAcc.add(LineageRow(runId, pid, inputRows, okRows, errRows,
+            bytesIn, bytesOut, System.currentTimeMillis() - startedAt,
+            startedAt, System.currentTimeMillis()))
+        }
+      }
+    }
+  }
+
+  /** Full job: dedup -> extract. Convenience for the entry points. */
+  def run(spark: SparkSession, pages: DataFrame, runId: String,
+          numPartitions: Int = 0): Dataset[ExtractedRow] =
+    extract(spark, dedupLatest(pages), runId, numPartitions)
+}

@@ -1,0 +1,41 @@
+package graft.spark
+
+import java.sql.Timestamp
+
+/** The fixed input-table contract (BASELINE.json input_hint):
+  * pages(url string, warc_ts timestamp, html binary, text string, lang string).
+  */
+final case class PageRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+final case class SpanRow(page: Int, start: Long, end: Long)
+
+/** Output table row (SURVEY.md §1.2). `text` is the UTF-8 view; `text_bytes`
+  * carries the exact extracted bytes for the byte-identity invariant.
+  */
+final case class ExtractedRow(
+    url: String,
+    warc_ts: Timestamp,
+    text: String,
+    text_bytes: Array[Byte],
+    spans: Seq[SpanRow],
+    status: String,
+    error: String,
+    partition_id: Int)
+
+/** One lineage row per task partition (SURVEY.md §1.2). */
+final case class LineageRow(
+    run_id: String,
+    partition_id: Int,
+    input_rows: Long,
+    ok_rows: Long,
+    err_rows: Long,
+    bytes_in: Long,
+    bytes_out: Long,
+    wall_ms: Long,
+    started_at: Long,
+    committed_at: Long)

@@ -1,0 +1,155 @@
+package graft.spark
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+/** Iceberg-shaped table I/O (SURVEY.md §7.3). No Iceberg jars exist in the
+  * sandbox, so the warehouse implements the same semantics directly:
+  *
+  *   warehouse/
+  *     data/<batch-dir>/part-*.parquet       (immutable once committed)
+  *     lineage/<batch-dir>/part-*.parquet
+  *     metadata/v{N}.json                    (snapshot manifest)
+  *     metadata/version-hint.text            (atomic pointer to current N)
+  *
+  * A snapshot manifest lists committed input BUCKETS (the resume unit) and
+  * the data/lineage files that hold them. Commit = write files -> write
+  * manifest v{N+1} -> atomically replace version-hint. A killed job restarts
+  * from the last committed snapshot: buckets in the manifest are skipped.
+  * Bucket-level granularity scales to 10^12 rows (manifests stay tiny) where
+  * a per-url ledger could not. The trait boundary swaps to real Iceberg
+  * (`spark.read.format("iceberg")`) outside the sandbox.
+  */
+object TableIO {
+
+  final case class Snapshot(
+      version: Int,
+      committedBuckets: Set[Int],
+      dataDirs: Seq[String],
+      lineageDirs: Seq[String])
+
+  private def metaDir(warehouse: String): Path = Paths.get(warehouse, "metadata")
+  private def hintFile(warehouse: String): Path = metaDir(warehouse).resolve("version-hint.text")
+
+  def currentSnapshot(warehouse: String): Option[Snapshot] = {
+    val hint = hintFile(warehouse)
+    if (!Files.exists(hint)) return None
+    val v = new String(Files.readAllBytes(hint), UTF_8).trim.toInt
+    val manifest = metaDir(warehouse).resolve(s"v$v.json")
+    if (!Files.exists(manifest)) return None
+    Some(parseManifest(v, new String(Files.readAllBytes(manifest), UTF_8)))
+  }
+
+  /** Commit a new snapshot: previous content + this batch. Atomic via
+    * write-manifest-then-rename-hint.
+    */
+  def commit(warehouse: String, buckets: Set[Int], dataDir: Option[String],
+             lineageDir: Option[String]): Snapshot = {
+    Files.createDirectories(metaDir(warehouse))
+    val prev = currentSnapshot(warehouse)
+    val next = Snapshot(
+      version = prev.map(_.version + 1).getOrElse(1),
+      committedBuckets = prev.map(_.committedBuckets).getOrElse(Set.empty) ++ buckets,
+      dataDirs = prev.map(_.dataDirs).getOrElse(Nil) ++ dataDir.toSeq,
+      lineageDirs = prev.map(_.lineageDirs).getOrElse(Nil) ++ lineageDir.toSeq)
+    val manifest = metaDir(warehouse).resolve(s"v${next.version}.json")
+    Files.write(manifest, renderManifest(next).getBytes(UTF_8))
+    val tmp = metaDir(warehouse).resolve(s".version-hint.${next.version}.tmp")
+    Files.write(tmp, next.version.toString.getBytes(UTF_8))
+    Files.move(tmp, hintFile(warehouse), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Read the committed output table (union of committed data dirs). */
+  def readData(spark: SparkSession, warehouse: String): Option[DataFrame] =
+    currentSnapshot(warehouse).filter(_.dataDirs.nonEmpty).map { s =>
+      spark.read.parquet(s.dataDirs: _*)
+    }
+
+  def readLineage(spark: SparkSession, warehouse: String): Option[DataFrame] =
+    currentSnapshot(warehouse).filter(_.lineageDirs.nonEmpty).map { s =>
+      spark.read.parquet(s.lineageDirs: _*)
+    }
+
+  /** Resumable extraction job over a pages table.
+    *
+    * Input rows are assigned to `numBuckets` buckets by url hash; buckets are
+    * processed in `batchBuckets`-sized batches, each committed as one
+    * snapshot. On restart, committed buckets are skipped (partition-pruned at
+    * the scan by the bucket predicate). `failAfterBatches` injects a crash
+    * for the kill/resume integration test.
+    */
+  def runResumable(
+      spark: SparkSession,
+      pages: DataFrame,
+      warehouse: String,
+      runId: String,
+      numBuckets: Int = 16,
+      batchBuckets: Int = 4,
+      numPartitions: Int = 0,
+      failAfterBatches: Int = -1): Snapshot = {
+    import java.util.UUID
+    val done: Set[Int] = currentSnapshot(warehouse).map(_.committedBuckets).getOrElse(Set.empty)
+    val withBucket = Pipeline
+      .dedupLatest(pages)
+      .withColumn("__bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
+    val todo = (0 until numBuckets).filterNot(done.contains)
+    var batchesDone = 0
+    var snap = currentSnapshot(warehouse).getOrElse(Snapshot(0, Set.empty, Nil, Nil))
+    for (batch <- todo.grouped(batchBuckets)) {
+      if (failAfterBatches >= 0 && batchesDone >= failAfterBatches)
+        throw new RuntimeException(s"injected failure after $batchesDone batches")
+      val subset = withBucket.filter(col("__bucket").isInCollection(batch)).drop("__bucket")
+      val lineageAcc: CollectionAccumulator[LineageRow] =
+        spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$runId-$batchesDone")
+      val extracted = Pipeline.extract(spark, subset, runId, numPartitions,
+        lineageAcc = lineageAcc)
+      val dataDir = s"$warehouse/data/batch-${snap.version + 1}-${UUID.randomUUID().toString.take(8)}"
+      extracted.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+      val lineageDir = s"$warehouse/lineage/batch-${snap.version + 1}-${UUID.randomUUID().toString.take(8)}"
+      val lineageRows = lineageAcc.value.asScala.toSeq
+      import spark.implicits._
+      lineageRows.toDF().write.mode(SaveMode.ErrorIfExists).parquet(lineageDir)
+      snap = commit(warehouse, batch.toSet, Some(dataDir), Some(lineageDir))
+      batchesDone += 1
+    }
+    snap
+  }
+
+  // ------------------------------------------------------- manifest (JSON)
+
+  private def renderManifest(s: Snapshot): String = {
+    def arr(xs: Seq[String]): String = xs.map(x => "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    s"""{"version":${s.version},"committed_buckets":${s.committedBuckets.toSeq.sorted.mkString("[", ",", "]")},"data_dirs":${arr(s.dataDirs)},"lineage_dirs":${arr(s.lineageDirs)}}"""
+  }
+
+  private def parseManifest(version: Int, json: String): Snapshot = {
+    // Minimal parser for our own fixed-shape manifest.
+    def intArray(key: String): Seq[Int] = {
+      val m = java.util.regex.Pattern.compile("\"" + key + "\":\\[([^\\]]*)\\]").matcher(json)
+      if (!m.find()) Nil
+      else m.group(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    }
+    def strArray(key: String): Seq[String] = {
+      val m = java.util.regex.Pattern.compile("\"" + key + "\":\\[([^\\]]*)\\]").matcher(json)
+      if (!m.find()) Nil
+      else {
+        val body = m.group(1)
+        val out = mutable.ArrayBuffer.empty[String]
+        val sm = java.util.regex.Pattern.compile("\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(body)
+        while (sm.find()) out += sm.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+        out.toSeq
+      }
+    }
+    Snapshot(version, intArray("committed_buckets").toSet,
+      strArray("data_dirs"), strArray("lineage_dirs"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Batch jobs are the unit for the extraction pipeline (snapshot-based
+  * resume, SURVEY.md §1.2); these streaming ops cover the streaming-ingest
+  * side of a training-data platform: watermarked windowed aggregation and
+  * custom sessionization state via flatMapGroupsWithState. Tests drive them
+  * with Trigger.AvailableNow over file sources — the same code runs
+  * continuously on a real cluster.
+  */
+object StreamingOps {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked 1-hour tumbling-window counts per event_type, written to
+    * parquet with AvailableNow (runs to completion over current input).
+    */
+  def windowedCounts(spark: SparkSession, inputDir: String, checkpointDir: String,
+                     outDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Batch-equivalent of windowedCounts (used by tests to cross-check the
+    * streaming result; with AvailableNow + append mode, only windows below
+    * the final watermark are emitted, so tests compare on those).
+    */
+  def windowedCountsBatch(spark: SparkSession, inputDir: String): DataFrame =
+    spark.read.schema(eventSchema).parquet(inputDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionState(start: Long, last: Long, events: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long,
+                              duration_ms: Long)
+
+  /** Custom sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState (KeyValueGroupedDataset custom state).
+    */
+  def sessionize(spark: SparkSession, inputDir: String, checkpointDir: String,
+                 outDir: String, gapMs: Long = 30 * 60 * 1000L): Unit = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)]
+    val sessions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2.getTime).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          for (t <- sorted) {
+            if (st.start < 0) st = SessionState(t, t, 1)
+            else if (t - st.last > gapMs) {
+              out += SessionOut(userId, new Timestamp(st.start), st.events, st.last - st.start)
+              st = SessionState(t, t, 1)
+            } else st = st.copy(last = t, events = st.events + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.SparkTestBase
+
+/** Training-data ops: planted near-dups found by MinHash/SimHash, exact
+  * dedup, langid accuracy, fingerprints, ANN ranking, multimodal decode.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+    "into the deep green forest while the hunter watches quietly from the old wooden tower"
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated docs") {
+    val nearDup = base.replace("quietly", "silently") // 1-word change
+    val unrelated = "completely different content about databases indexes and query " +
+      "optimizers that shares no phrasing with the other documents at all in any way"
+    val docs = docsDf(Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base)))
+    val pairs = Dedup.minhashDupPairs(spark, docs, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(pairs.contains((1L, 4L)), "exact-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "false positive on unrelated doc")
+
+    val groups = Dedup.minhashDupGroups(spark, docs, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(4L) == 1L)
+    assert(groups(3L) == 3L)
+  }
+
+  test("simhash hamming blocking finds near-dups") {
+    val nearDup = base.replace("quietly", "silently")
+    val unrelated = "astronomy telescopes observe distant galaxies while spectrometers " +
+      "measure redshift velocity dispersion and dark matter density profiles precisely"
+    val docs = docsDf(Seq((1L, base), (2L, nearDup), (3L, unrelated)))
+    val pairs = Dedup.simhashDupPairs(docs, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(Dedup.hamming64(Dedup.simhash64(base), Dedup.simhash64(nearDup)) <= 6)
+    assert(Dedup.hamming64(Dedup.simhash64(base), Dedup.simhash64(unrelated)) > 10)
+  }
+
+  test("ngram jaccard verification") {
+    assert(Dedup.exactJaccard(base, base) == 1.0)
+    val pairs = Dedup.ngramJaccardPairs(
+      docsDf(Seq((1L, base), (2L, base + " extra tail"), (3L, "nothing alike here at all"))),
+      threshold = 0.5).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("exact dedup survivors") {
+    val docs = docsDf(Seq((5L, "aaa"), (2L, "aaa"), (3L, "bbb")))
+    val surv = Dedup.exactSurvivors(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(surv("aaa") == 2L)
+    assert(surv("bbb") == 3L)
+  }
+
+  test("language id heuristic") {
+    assert(TextOps.detectLang("the cat sat on the mat and it was happy with this") == "en")
+    assert(TextOps.detectLang("der Hund ist nicht mit der Katze und das ist auch gut") == "de")
+    assert(TextOps.detectLang("le chat est dans la maison et il est avec son ami") == "fr")
+    assert(TextOps.detectLang("el perro es grande y la casa es de madera para su familia") == "es")
+    assert(TextOps.detectLang("xyzzy plugh") == "und")
+    assert(TextOps.detectLang("") == "und")
+  }
+
+  test("fingerprint64 is whitespace-normalization invariant") {
+    assert(TextOps.fingerprint64("a  b\tc") == TextOps.fingerprint64("a b c"))
+    assert(TextOps.fingerprint64(" a b c ") == TextOps.fingerprint64("a b c"))
+    assert(TextOps.fingerprint64("a b c") != TextOps.fingerprint64("a b d"))
+  }
+
+  test("token count matches SQL-expressible semantics") {
+    import spark.implicits._
+    val df = Seq((1L, "a b  c"), (2L, ""), (3L, "  "), (4L, "one")).toDF("doc_id", "text")
+    val got = TextOps.withTokenCount(df).select("doc_id", "n_tokens")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 3)
+    assert(got(2L) == 0)
+    assert(got(3L) == 0)
+    assert(got(4L) == 1)
+  }
+
+  test("ANN: brute-force cosine self-consistency and rank determinism") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.95f, 0.05f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(spark, vecs, Seq(0L), k = 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(top.take(2).toSet == Set(1L, 4L)) // the two closest
+    assert(top(2) == 2L)
+  }
+
+  test("ANN: LSH top-k recalls bucket-mates and never errors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(spark, vecs, Seq(0L), k = 5)
+      .collect().map(_.getLong(1)).toSet
+    val lsh = Similarity.lshTopK(spark, vecs, Seq(0L), k = 5, bits = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(lsh.nonEmpty)
+    // probing 1-bit neighborhoods should recall at least one true neighbor
+    assert(brute.intersect(lsh).nonEmpty)
+  }
+
+  test("multimodal decode: deterministic fake decoder, real plumbing") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(7L, Multimodal.syntheticMedia(7L, "image"), "image"))
+      .toDS()
+    val meta = Multimodal.decodeFeatures(media).collect().head
+    assert(meta.width == 8 + (7 % 24))
+    assert(meta.height == 8 + ((7 / 7) % 16))
+    assert(meta.features.length == 8)
+    assert(math.abs(meta.features.sum - 1.0f) < 1e-3)
+    val again = Multimodal.decodeFeatures(media).collect().head
+    assert(meta.mean_byte == again.mean_byte)
+    val frames = Multimodal.frameSample(media).collect()
+    assert(frames.nonEmpty)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.PdfFixtures
+
+/** Spark end-to-end: t1 smoke table (statuses, dedup, lineage) and the
+  * kill/resume integration test (t3) over the Iceberg-shaped warehouse.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("t1 smoke: statuses, latest-capture dedup, byte-identity") {
+    import spark.implicits._
+    val pages = PagesGen.smokeTable(spark)
+    val out = Pipeline.run(spark, pages, "t1").collect().map(r => r.url -> r).toMap
+
+    assert(out.size == 7) // 8 rows, 1 duplicate url collapsed
+    assert(out("https://t/ok-pdf").status == "ok")
+    assert(out("https://t/ok-pdf").text == "Hello World")
+    assert(out("https://t/ok-flate").text == "compressed")
+    assert(out("https://t/ok-html").status == "ok")
+    assert(out("https://t/dup").text == "new capture") // latest warc_ts wins
+    assert(out("https://t/err").status == "error")
+    assert(out("https://t/err").text == "partial")
+    assert(out("https://t/empty").status == "empty")
+    // Byte identity: text_bytes match the kernel run directly.
+    val direct = graft.Extract(PdfFixtures.s01("Hello World"))
+    assert(out("https://t/ok-pdf").text_bytes.sameElements(direct.textBytes))
+  }
+
+  test("oversize cap produces skipped_oversize with lineage accounting") {
+    import spark.implicits._
+    val acc = spark.sparkContext.collectionAccumulator[LineageRow]("lin-test")
+    val pages = PagesGen.smokeTable(spark)
+    val out = Pipeline.extract(spark, Pipeline.dedupLatest(pages), "t1b",
+      maxBytesPerDoc = 900, lineageAcc = acc).collect()
+    val oversize = out.filter(_.status == "skipped_oversize")
+    assert(oversize.nonEmpty) // the 1KB doc trips the cap
+    import scala.jdk.CollectionConverters._
+    val lineage = acc.value.asScala
+    assert(lineage.map(_.input_rows).sum == 7)
+    assert(lineage.map(_.ok_rows).sum == out.count(_.status == "ok"))
+    assert(lineage.map(_.err_rows).sum == out.count(_.status == "error"))
+    assert(lineage.map(_.bytes_out).sum == out.map(_.text_bytes.length.toLong).sum)
+  }
+
+  test("t3 kill/resume: killed job restarts from last committed snapshot, no dups/missing") {
+    import spark.implicits._
+    val docs = (0 until 200).map { i =>
+      PageRow(f"https://t3/doc-$i%04d", new java.sql.Timestamp(PagesGen.BaseTs + i),
+        PdfFixtures.s01(s"document number $i content"), "", "en")
+    }
+    val pages = docs.toDF()
+
+    // Full run (no failure) as the golden result.
+    val whFull = Files.createTempDirectory("wh-full").toString
+    TableIO.runResumable(spark, pages, whFull, "full", numBuckets = 8, batchBuckets = 2)
+    val full = TableIO.readData(spark, whFull).get
+      .select("url", "text").collect().map(r => (r.getString(0), r.getString(1))).sorted
+
+    // Killed run: fails after 2 committed batches, then resumes.
+    val whKill = Files.createTempDirectory("wh-kill").toString
+    intercept[RuntimeException] {
+      TableIO.runResumable(spark, pages, whKill, "killed", numBuckets = 8,
+        batchBuckets = 2, failAfterBatches = 2)
+    }
+    val partial = TableIO.currentSnapshot(whKill).get
+    assert(partial.committedBuckets.size == 4) // 2 batches x 2 buckets committed
+    // Resume: only uncommitted buckets run.
+    TableIO.runResumable(spark, pages, whKill, "resumed", numBuckets = 8, batchBuckets = 2)
+    val resumed = TableIO.readData(spark, whKill).get
+      .select("url", "text").collect().map(r => (r.getString(0), r.getString(1))).sorted
+
+    assert(resumed.length == 200) // no missing
+    assert(resumed.map(_._1).distinct.length == 200) // no dups
+    assert(resumed.toSeq == full.toSeq) // identical output
+    // Lineage table covers both runs.
+    val lineage = TableIO.readLineage(spark, whKill).get
+    assert(lineage.agg(sum("input_rows")).head().getLong(0) == 200)
+  }
+
+  test("extraction plan: single shuffle (repartition), kernel in one mapPartitions") {
+    val pages = PagesGen.smokeTable(spark)
+    val ds = Pipeline.extract(spark, pages, "plan", numPartitions = 4)
+    val plan = ds.queryExecution.executedPlan.toString
+    // exactly one exchange below the kernel (the url repartition)
+    assert(plan.contains("Exchange"))
+    assert(plan.contains("SerializeFromObject")) // typed kernel present
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.SparkTestBase
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def writeEvents(dir: String): Unit = {
+    import spark.implicits._
+    val base = 1767225600000L
+    val rows = (0 until 500).map { i =>
+      (i.toLong, new Timestamp(base + i * 60000L), (i % 7).toLong,
+        if (i % 3 == 0) "click" else "view", i.toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  test("watermarked windowed counts (AvailableNow) match batch on closed windows") {
+    val in = Files.createTempDirectory("ev-in").toString
+    val cp = Files.createTempDirectory("ev-cp").toString
+    val out = Files.createTempDirectory("ev-out").toString
+    writeEvents(in)
+    StreamingOps.windowedCounts(spark, in, cp, out)
+    val streamed = spark.read.parquet(out)
+      .select("win_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamingOps.windowedCountsBatch(spark, in)
+      .select("win_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // Append mode emits only windows closed by the final watermark; every
+    // streamed window must match its batch counterpart exactly.
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+  }
+
+  test("flatMapGroupsWithState sessionization emits gap-separated sessions") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("sess-in").toString
+    val cp = Files.createTempDirectory("sess-cp").toString
+    val out = Files.createTempDirectory("sess-out").toString
+    val base = 1767225600000L
+    val gap = 30 * 60 * 1000L
+    // user 1: two sessions separated by >30min; user 2: one session
+    val rows = Seq(
+      (1L, new Timestamp(base)), (2L, new Timestamp(base + 60000L)),
+      (3L, new Timestamp(base + 120000L)),
+      (4L, new Timestamp(base + gap + 600000L)), (5L, new Timestamp(base + gap + 660000L)),
+      (6L, new Timestamp(base)), (7L, new Timestamp(base + 300000L))
+    ).zipWithIndex.map { case ((eid, ts), i) =>
+      (eid, ts, if (eid <= 5) 1L else 2L, "e", 0.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(in)
+    StreamingOps.sessionize(spark, in, cp, out)
+    val sessions = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // Completed (closed) sessions only: user 1's FIRST session (3 events) is
+    // closed by the 30min gap; the trailing sessions stay in state.
+    assert(sessions.contains((1L, 3L)))
+  }
+}
