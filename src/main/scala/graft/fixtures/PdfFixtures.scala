@@ -148,11 +148,12 @@ object PdfFixtures {
   /** s07: xref STREAM (PNG predictor-12 flate) + object stream holding the
     * catalog/pages/page dicts. Exercises §2.2 xref streams and §2.3 objstms.
     */
-  def s07(text: String = "Hello World"): Array[Byte] = {
+  def s07(text: String = "Hello World"): Array[Byte] = s07Content(contentFor(text))
+
+  def s07Content(content: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(b("%PDF-1.5\n%âãÏÓ\n"))
     // obj 4: content stream (uncompressed)
-    val content = contentFor(text)
     val off4 = out.size().toLong
     out.write(b(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n"))
     out.write(content)
@@ -347,6 +348,44 @@ object PdfFixtures {
     bld.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
     bld.stream(4, s"<< /Length ${c.length} >>", c)
     bld.build()
+  }
+
+  /** Realistic operator-dense content: one `0 -12 Td (line) Tj` pair per
+    * line (expected text = lines joined with newlines, per the Td ty<0 rule).
+    */
+  def multiLineContent(lines: Seq[String]): Array[Byte] = {
+    val sb = new StringBuilder("BT /F1 12 Tf ")
+    var first = true
+    for (l <- lines) {
+      if (!first) sb.append("0 -12 Td ")
+      sb.append('(').append(new String(escapeStringText(l), ISO_8859_1)).append(") Tj ")
+      first = false
+    }
+    sb.append("ET")
+    b(sb.toString)
+  }
+
+  /** Multi-line PDF in the chosen container variant:
+    * 0 raw classic-xref, 1 flate, 2 xref-stream+objstm, 3 multi-filter.
+    */
+  def multiLinePdf(lines: Seq[String], variant: Int): Array[Byte] = {
+    val content = multiLineContent(lines)
+    variant match {
+      case 0 => onePage(s"<< /Length ${content.length} >>", content)
+      case 1 =>
+        val e = Filters.flateEncode(content)
+        onePage(s"<< /Filter /FlateDecode /Length ${e.length} >>", e)
+      case 2 => s07Content(content)
+      case _ =>
+        val e = Filters.ascii85Encode(Filters.flateEncode(content))
+        onePage(s"<< /Filter [/ASCII85Decode /FlateDecode] /Length ${e.length} >>", e)
+    }
+  }
+
+  /** Multi-paragraph HTML page (one <p> per line inside <article>). */
+  def htmlMultiPara(lines: Seq[String]): Array[Byte] = {
+    val ps = lines.map(l => s"<p>${escapeHtml(l)}</p>").mkString("\n")
+    s"<html><body><article>$ps</article></body></html>".getBytes(UTF_8)
   }
 
   // ------------------------------------------------------------------- html

@@ -255,9 +255,8 @@ object CMapParser {
   private def parseObject(cur: ByteCursor): Tok = {
     skipSpaces(cur)
     while (true) {
-      val bb = cur.peek(2)
-      if (bb.length < 2) eofExit()
-      val b0 = bb(0) & 0xff; val b1 = bb(1) & 0xff
+      if (cur.remaining < 2) eofExit()
+      val b0 = cur.peekByte; val b1 = cur.peekAt(1)
       if (b0 == '%') { parseComment(cur); skipSpaces(cur) }
       else if (b0 == '/') return parseName(cur)
       else if (b0 == '(') return parseString(cur)
@@ -308,16 +307,15 @@ object CMapParser {
         val b = cur.readByte()
         if (b == -1) eofExit()
         if (isOctalDigit(b)) {
-          val bb = cur.peek(2)
-          if (bb.length < 2) eofExit()
-          var numeric = List(b)
-          var i = 0; var stop = false
-          while (i < bb.length && !stop) {
-            if (isOctalDigit(bb(i) & 0xff)) numeric = numeric :+ (bb(i) & 0xff) else stop = true
-            i += 1
+          if (cur.remaining < 2) eofExit()
+          var code = (b - '0').toLong
+          var extra = 0
+          while (extra < 2 && isOctalDigit(cur.peekAt(extra))) {
+            code = code * 8 + (cur.peekAt(extra) - '0')
+            extra += 1
           }
-          cur.discard(numeric.length - 1)
-          buf.write((java.lang.Long.parseLong(numeric.map(_.toChar).mkString, 8) & 0xff).toInt)
+          cur.discard(extra)
+          buf.write((code & 0xff).toInt)
         } else b match {
           case 'n' => buf.write('\n')
           case 'r' => buf.write('\r')
@@ -385,9 +383,8 @@ object CMapParser {
     var done = false
     while (!done) {
       skipSpaces(cur)
-      val bb = cur.peek(2)
-      if (bb.length < 2) eofExit()
-      if ((bb(0) & 0xff) == '>' && (bb(1) & 0xff) == '>') {
+      if (cur.remaining < 2) eofExit()
+      if (cur.peekByte == '>' && cur.peekAt(1) == '>') {
         cur.readByte(); cur.readByte(); done = true
       } else {
         val key = parseName(cur).name

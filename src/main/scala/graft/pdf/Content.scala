@@ -113,16 +113,14 @@ final class ContentParser(content0: Array[Byte]) {
         val b = cur.readByte()
         if (b == -1) eofExit()
         if (isOctalDigit(b)) {
-          val bb = cur.peek(2)
-          if (bb.length < 2) eofExit()
-          var numeric = List(b)
-          var i = 0; var stop = false
-          while (i < bb.length && !stop) {
-            if (isOctalDigit(bb(i) & 0xff)) numeric = numeric :+ (bb(i) & 0xff) else stop = true
-            i += 1
+          if (cur.remaining < 2) eofExit()
+          var code = (b - '0').toLong
+          var extra = 0
+          while (extra < 2 && isOctalDigit(cur.peekAt(extra))) {
+            code = code * 8 + (cur.peekAt(extra) - '0')
+            extra += 1
           }
-          cur.discard(numeric.length - 1)
-          val code = java.lang.Long.parseLong(numeric.map(_.toChar).mkString, 8)
+          cur.discard(extra)
           r.write((code & 0xff).toInt)
         } else {
           b match {
@@ -206,9 +204,8 @@ final class ContentParser(content0: Array[Byte]) {
     var done = false
     while (!done) {
       skipSpaces()
-      val bb = cur.peek(2)
-      if (bb.length < 2) eofExit()
-      if ((bb(0) & 0xff) == '>' && (bb(1) & 0xff) == '>') {
+      if (cur.remaining < 2) eofExit()
+      if (cur.peekByte == '>' && cur.peekAt(1) == '>') {
         cur.readByte(); cur.readByte(); done = true
       } else {
         val keyName = parseName().name
@@ -247,9 +244,8 @@ final class ContentParser(content0: Array[Byte]) {
   def parseObject(): (PdfObj, Boolean) = {
     skipSpaces()
     while (true) {
-      val bb = cur.peek(2)
-      if (bb.length < 2) eofExit()
-      val b0 = bb(0) & 0xff; val b1 = bb(1) & 0xff
+      if (cur.remaining < 2) eofExit()
+      val b0 = cur.peekByte; val b1 = cur.peekAt(1)
       if (b0 == '%') skipComments()
       else if (b0 == '/') return (parseName(), false)
       else if (b0 == '(') return (parseString(), false)
@@ -258,10 +254,14 @@ final class ContentParser(content0: Array[Byte]) {
       else if (isFloatDigit(b0) || (b0 == '-' && isFloatDigit(b1))) return (parseNumber(), false)
       else if (b0 == '<' && b1 == '<') return (parseDict(), false)
       else {
-        val peekStr = PdfPatterns.str(cur.peek(5))
-        if (peekStr.length > 3 && peekStr.startsWith("null")) return (parseNull(), false)
-        if (peekStr.length > 4 && peekStr.startsWith("false")) return (parseBool(), false)
-        if (peekStr.length > 3 && peekStr.startsWith("true")) return (parseBool(), false)
+        val rem = cur.remaining
+        @inline def at(i: Int): Int = cur.peekAt(i)
+        if (rem > 3 && at(0) == 'n' && at(1) == 'u' && at(2) == 'l' && at(3) == 'l')
+          return (parseNull(), false)
+        if (rem > 4 && at(0) == 'f' && at(1) == 'a' && at(2) == 'l' && at(3) == 's' && at(4) == 'e')
+          return (parseBool(), false)
+        if (rem > 3 && at(0) == 't' && at(1) == 'r' && at(2) == 'u' && at(3) == 'e')
+          return (parseBool(), false)
         val operand = parseOperand()
         if (operand.bytes.length < 1) throw new PdfError("Invalid operand")
         return (operand, true)

@@ -146,17 +146,14 @@ final class ObjLexer(val cur: ByteCursor) {
         val b = cur.readByte()
         if (b == -1) throw new PdfError("EOF in string escape")
         if (isOctalDigit(b)) {
-          val bb = cur.peek(2)
-          if (bb.length < 2) throw new PdfError("EOF in string octal")
-          var numeric = List(b)
-          var i = 0
-          var stop = false
-          while (i < bb.length && !stop) {
-            if (isOctalDigit(bb(i) & 0xff)) numeric = numeric :+ (bb(i) & 0xff) else stop = true
-            i += 1
+          if (cur.remaining < 2) throw new PdfError("EOF in string octal")
+          var code = (b - '0').toLong
+          var extra = 0
+          while (extra < 2 && isOctalDigit(cur.peekAt(extra))) {
+            code = code * 8 + (cur.peekAt(extra) - '0')
+            extra += 1
           }
-          cur.discard(numeric.length - 1)
-          val code = java.lang.Long.parseLong(numeric.map(_.toChar).mkString, 8)
+          cur.discard(extra)
           r.write((code & 0xff).toInt)
         } else {
           b match {
@@ -238,9 +235,8 @@ final class ObjLexer(val cur: ByteCursor) {
   def parseObject(): PdfObj = {
     skipSpaces()
     while (true) {
-      val bb = cur.peek(2)
-      if (bb.length < 2) throw new PdfError("EOF parsing object")
-      val b0 = bb(0) & 0xff; val b1 = bb(1) & 0xff
+      if (cur.remaining < 2) throw new PdfError("EOF parsing object")
+      val b0 = cur.peekByte; val b1 = cur.peekAt(1)
       if (b0 == '/') return parseName()
       else if (b0 == '(') return parseString()
       else if (b0 == '[') return parseArray()
@@ -281,9 +277,8 @@ final class ObjLexer(val cur: ByteCursor) {
     while (!done) {
       skipSpaces()
       skipComments()
-      val bb = cur.peek(2)
-      if (bb.length < 2) throw new PdfError("EOF in dict")
-      if ((bb(0) & 0xff) == '>' && (bb(1) & 0xff) == '>') {
+      if (cur.remaining < 2) throw new PdfError("EOF in dict")
+      if (cur.peekByte == '>' && cur.peekAt(1) == '>') {
         cur.readByte(); cur.readByte(); done = true
       } else {
         val keyName = parseName().name

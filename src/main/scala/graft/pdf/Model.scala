@@ -422,6 +422,7 @@ final class PdfDocument(val parser: PdfFileParser) {
       case _           => Seq(contentStreamBytes(contents))
     }
     if (parts.isEmpty) Array.emptyByteArray
+    else if (parts.length == 1) parts.head
     else {
       val out = new java.io.ByteArrayOutputStream()
       var first = true

@@ -63,6 +63,33 @@ object PagesGen {
       }
   }
 
+  /** Bench corpus: documents replicated `replicas`x with distinct urls and
+    * perturbed text (deterministic), mixed payload variants.
+    */
+  def pagesBench(spark: SparkSession, sfDir: String, replicas: Int,
+                 textRepeat: Int = 40): Dataset[PageRow] = {
+    import spark.implicits._
+    // documents.parquet is a single file = a single input partition; spread
+    // it BEFORE the payload-building flatMap or the build runs on one core.
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .repartition(64)
+      .as[(Long, String, String)]
+      .flatMap { case (id, text, lang) =>
+        (0 until replicas).map { r =>
+          val gid = id * replicas + r
+          // Common-Crawl-sized, operator-dense payloads: textRepeat lines,
+          // each its own text-positioning op pair (like real documents).
+          val lines = (0 until textRepeat).map(k => s"[p$k r$r d$id] $text")
+          val payload =
+            if (gid % 5 == 4) PdfFixtures.htmlMultiPara(lines)
+            else PdfFixtures.multiLinePdf(lines, (gid % 5).toInt)
+          PageRow(f"https://bench.test/doc-$gid%08d",
+            new Timestamp(BaseTs + gid), payload, "", lang)
+        }
+      }
+  }
+
   /** Small smoke table mixing good docs, duplicates, an error doc, and an
     * oversize doc (FIXTURES.md §5 t1).
     */

@@ -46,14 +46,20 @@ object Pipeline {
       maxBytesPerDoc: Int = DefaultMaxBytesPerDoc,
       lineageAcc: CollectionAccumulator[LineageRow] = null): Dataset[ExtractedRow] = {
     import spark.implicits._
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sparkContext.defaultParallelism
-    val typed = pages
+    val base = pages
       .select("url", "warc_ts", "html", "text", "lang")
       .as[PageRow]
-      // Uniform spread by url hash: each partition gets a mix of doc sizes.
-      .repartition(parts, col("url"))
+    // numPartitions < 0 skips the spread shuffle (input already uniformly
+    // partitioned, e.g. a freshly-bucketed parquet corpus); otherwise hash
+    // urls so each partition gets a mix of doc sizes.
+    val typed =
+      if (numPartitions < 0) base
+      else {
+        val parts =
+          if (numPartitions > 0) numPartitions
+          else spark.sparkContext.defaultParallelism
+        base.repartition(parts, col("url"))
+      }
 
     typed.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
