@@ -45,6 +45,10 @@ final class PdfFileParser(val data: Array[Byte]) {
   var trailer: PdfDict = _
   var majorVersion = 0
   var minorVersion = 0
+  /** Standard-security-handler crypter, set by the document layer after a
+    * successful authenticate; lookups decrypt through it (crossrefs.go:205-221).
+    */
+  var crypter: PdfCrypt = _
   private var repairsAttempted = false
   private val streamLengthLookupInProgress = mutable.HashSet.empty[Long]
 
@@ -471,6 +475,7 @@ final class PdfFileParser(val data: Array[Byte]) {
           }
         }
         objCache(objNumber) = obj
+        if (crypter != null && !crypter.isDecrypted(obj)) crypter.decrypt(obj, 0, 0)
         obj
       case Some(xref) =>
         // Compressed object inside an object stream.
@@ -479,6 +484,9 @@ final class PdfFileParser(val data: Array[Byte]) {
           throw new PdfError("OS belongs to a non cross referenced object")
         val optr = lookupObjectViaOS(xref.osObjNumber, objNumber)
         objCache(objNumber) = optr
+        // Objects inside object streams are never encrypted themselves
+        // (the container stream was): mark as decrypted (crossrefs.go:317-321).
+        if (crypter != null) crypter.markDecrypted(optr)
         optr
     }
   }

@@ -185,7 +185,8 @@ final class PdfPage(val dict: PdfDict, val resources: PdfResources, val contents
   * cycle guards and inherited Resources (pdf/model/reader.go:136-225,
   * 509-595; pdf/model/page.go:87-310, 404-441).
   */
-final class PdfDocument(val parser: PdfFileParser) {
+final class PdfDocument(val parser: PdfFileParser,
+                        val passwords: Seq[Array[Byte]] = Nil) {
   private val traversed = java.util.Collections.newSetFromMap(
     new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
 
@@ -212,8 +213,7 @@ final class PdfDocument(val parser: PdfFileParser) {
   }
 
   private def loadStructure(): Seq[PdfPage] = {
-    if (parser.isEncrypted)
-      throw new PdfError("encrypted document: decryption not supported")
+    if (parser.isEncrypted) setupDecryption()
     val trailerDict = parser.trailer
     if (trailerDict == null) throw new PdfError("Missing trailer")
     val root = trailerDict.get("Root") match {
@@ -249,6 +249,39 @@ final class PdfDocument(val parser: PdfFileParser) {
       new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
     buildPageList(ppages, null, visited, out)
     out.toSeq
+  }
+
+  /** Build the crypter from the trailer /Encrypt dict and authenticate with
+    * the empty password (the pipeline has no interactive passwords; the
+    * reference's Decrypt() likewise falls back to "").
+    */
+  private def setupDecryption(): Unit = {
+    val encObj = parser.trailer.get("Encrypt")
+    var encIndirect: PdfIndirect = null
+    val ed = encObj match {
+      case d: PdfDict => d
+      case r: PdfRef =>
+        parser.lookup(r.num.toInt) match {
+          case io: PdfIndirect =>
+            encIndirect = io
+            io.obj match {
+              case d: PdfDict => d
+              case _          => throw new PdfError("Trailer Encrypt object non dictionary")
+            }
+          case _ => throw new PdfError("Encryption object not an indirect object")
+        }
+      case _ => throw new PdfError("unsupported Encrypt type")
+    }
+    val crypt = PdfCrypt.makeNew(ed, parser.trailer, resolve)
+    if (encIndirect != null) crypt.markDecrypted(encIndirect)
+    val ok = passwords.exists(pw => crypt.authenticate(pw)) ||
+      crypt.authenticate(Array.emptyByteArray)
+    if (!ok) throw new PdfError("encrypted document: password rejected")
+    // Everything cached so far was parsed pre-decryption: drop it so
+    // subsequent lookups decrypt (the Encrypt object stays marked).
+    val encNum = encObj match { case r: PdfRef => r.num.toInt; case _ => -1 }
+    parser.objCache.filterInPlace((k, _) => k == encNum)
+    parser.crypter = crypt
   }
 
   /** pdf/model/reader.go:509-595. */
@@ -411,16 +444,21 @@ final class PdfDocument(val parser: PdfFileParser) {
     }
   }
 
-  /** GetAllContentStreams (pdf/model/page.go:819-854): decode every content
-    * stream of the page and join with a single space.
-    */
-  def allContentStreams(page: PdfPage): Array[Byte] = {
-    if (page.contents == null) return Array.emptyByteArray
+  /** GetContentStreams (pdf/model/page.go:819-845): each decoded stream. */
+  def contentStreams(page: PdfPage): Seq[Array[Byte]] = {
+    if (page.contents == null) return Nil
     val contents = PdfObjs.traceToDirect(resolve(page.contents))
-    val parts: Seq[Array[Byte]] = contents match {
+    contents match {
       case arr: PdfArr => arr.items.toSeq.map(contentStreamBytes)
       case _           => Seq(contentStreamBytes(contents))
     }
+  }
+
+  /** GetAllContentStreams (pdf/model/page.go:848-854): decode every content
+    * stream of the page and join with a single space.
+    */
+  def allContentStreams(page: PdfPage): Array[Byte] = {
+    val parts: Seq[Array[Byte]] = contentStreams(page)
     if (parts.isEmpty) Array.emptyByteArray
     else if (parts.length == 1) parts.head
     else {
@@ -440,9 +478,11 @@ final class PdfDocument(val parser: PdfFileParser) {
 
 object PdfDocument {
   /** Open a document from raw bytes: xrefs + trailer + page tree. */
-  def open(data: Array[Byte]): PdfDocument = {
+  def open(data: Array[Byte]): PdfDocument = open(data, Nil)
+
+  def open(data: Array[Byte], passwords: Seq[Array[Byte]]): PdfDocument = {
     val p = new PdfFileParser(data)
     p.load()
-    new PdfDocument(p)
+    new PdfDocument(p, passwords)
   }
 }
