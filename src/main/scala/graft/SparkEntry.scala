@@ -173,6 +173,18 @@ object SparkEntry {
         .select("doc_id", "fp64").orderBy("doc_id")
     }),
 
+    // ----------------------------------------- SQL surface (Catalyst expr)
+    "x21_extract_sql" -> ((s, dir) => {
+      // The native extract_text Expression through plain SQL; same oracle as
+      // the typed-kernel query x10.
+      graft.spark.GraftFunctions.register(s)
+      PagesGen.pagesPdf(s, dir).toDF().createOrReplaceTempView("graft_pages")
+      s.sql(
+        """SELECT CAST(substring(url, length(url) - 5, 6) AS BIGINT) AS doc_id,
+          |       extract_text(html).text AS extracted
+          |FROM graft_pages ORDER BY doc_id""".stripMargin)
+    }),
+
     // -------------------------------------------------------- multimodal
     "x20_multimodal_decode" -> ((s, dir) => {
       Multimodal.decodeFeatures(Multimodal.mediaTable(s, dir)).toDF()
@@ -187,6 +199,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "x10_extract_pdf" ->
+      "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
+    "x21_extract_sql" ->
       "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
     "x11_extract_html" ->
       ("SELECT doc_id, trim(regexp_replace(text, '[ \\t\\r\\n\\x0B\\x0C]+', ' ', 'g'), ' ') " +

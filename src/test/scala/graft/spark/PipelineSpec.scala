@@ -92,4 +92,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("Exchange"))
     assert(plan.contains("SerializeFromObject")) // typed kernel present
   }
+
+  test("extract_text Catalyst expression via SQL") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    PagesGen.smokeTable(spark).createOrReplaceTempView("pages_smoke")
+    val rows = spark.sql(
+      """SELECT url, extract_text(html).text AS text, extract_text(html).status AS status
+        |FROM pages_smoke WHERE url = 'https://t/ok-pdf'""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "Hello World")
+    assert(rows.head.getString(2) == "ok")
+    // null-safety + type check
+    val nullRow = spark.sql("SELECT extract_text(CAST(NULL AS BINARY)) AS r").collect()
+    assert(nullRow.head.isNullAt(0))
+    intercept[Exception](spark.sql("SELECT extract_text('not binary at all')").collect())
+  }
 }
