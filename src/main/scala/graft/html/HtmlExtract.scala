@@ -120,7 +120,18 @@ object HtmlExtract {
           val nameStart = j
           while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
           val name = html.substring(nameStart, j).toLowerCase
-          val gtEnd = html.indexOf('>', j)
+          // Find the tag end with quote awareness: '>' inside quoted
+          // attribute values (e.g. href="x?a>b") must not terminate the tag.
+          var k = j
+          var quote: Char = 0
+          var gtEnd = -1
+          while (k < n && gtEnd < 0) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') gtEnd = k
+            k += 1
+          }
           val tagEnd = if (gtEnd < 0) n else gtEnd + 1
           if (name.isEmpty) {
             // Broken tag like "< " or "<>": treat '<' as text.

@@ -248,7 +248,91 @@ final class PdfDocument(val parser: PdfFileParser,
     val visited = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
     buildPageList(ppages, null, visited, out)
+    // Outlines and AcroForm load AFTER pages; their failures abort the
+    // document just like the reference (reader.go:212-224).
+    loadOutlines(catalog)
+    loadForms(catalog)
     out.toSeq
+  }
+
+  /** loadOutlines + buildOutlineTree (reader.go:259-404, outlines.go:124-157):
+    * walk First/Next chains, validating Title (traced string) and Count (int).
+    * The reference recurses unguarded (cycles crash it); we stop at revisits
+    * instead of hanging — a deliberate robustness divergence (COVERAGE.md).
+    */
+  private def loadOutlines(catalog: PdfDict): Unit = {
+    val outlinesObj = catalog.get("Outlines")
+    if (outlinesObj == null) return
+    traceToObject(outlinesObj) match {
+      case PdfNull => ()
+      case io: PdfIndirect =>
+        io.obj match {
+          case _: PdfDict =>
+            val visited = java.util.Collections.newSetFromMap(
+              new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
+            buildOutlineTree(io, visited, isRoot = true)
+          case _ => throw new PdfError("Outline indirect object should contain a dictionary")
+        }
+      case _ => throw new PdfError("Outline root should be an indirect object")
+    }
+  }
+
+  private def buildOutlineTree(obj: PdfObj, visited: java.util.Set[PdfObj],
+                               isRoot: Boolean): Unit = {
+    obj match {
+      case io: PdfIndirect =>
+        if (visited.contains(io)) return // cycle: stop (see loadOutlines doc)
+        visited.add(io)
+        val dict = io.obj match {
+          case d: PdfDict => d
+          case _          => throw new PdfError("Not a dictionary object")
+        }
+        val title = dict.get("Title")
+        if (title != null) {
+          // Outline ITEM: Title must trace to a string; Count must be int.
+          PdfObjs.traceToDirect(traceToObject(title)) match {
+            case _: PdfStr => ()
+            case _         => throw new PdfError("Title not a string")
+          }
+          dict.get("Count") match {
+            case null | PdfInt(_) => ()
+            case _                => throw new PdfError("Count not an integer")
+          }
+        }
+        dict.get("First") match {
+          case null => ()
+          case f =>
+            traceToObject(f) match {
+              case PdfNull => ()
+              case fo      => buildOutlineTree(fo, visited, isRoot = false)
+            }
+        }
+        if (title != null) { // Next chains only followed on items
+          dict.get("Next") match {
+            case null => ()
+            case n =>
+              traceToObject(n) match {
+                case PdfNull => ()
+                case no      => buildOutlineTree(no, visited, isRoot = false)
+              }
+          }
+        }
+      case _ => throw new PdfError("Outline container not an indirect object")
+    }
+  }
+
+  /** loadForms (reader.go:447-498): AcroForm must trace to a dictionary (or
+    * null/absent); its subgraph is resolved in place.
+    */
+  private def loadForms(catalog: PdfDict): Unit = {
+    val obj = catalog.get("AcroForm")
+    if (obj == null) return
+    val direct = PdfObjs.traceToDirect(traceToObject(obj))
+    direct match {
+      case null | PdfNull => ()
+      case d: PdfDict     => traverseObjectData(d)
+      case _              => throw new PdfError("Invalid acroform entry")
+    }
   }
 
   /** Build the crypter from the trailer /Encrypt dict and authenticate with

@@ -85,4 +85,13 @@ class HtmlSpec extends AnyFunSuite {
     assert(r.text == "Single paragraph round trip content here.")
     assert(r.spans.length == 1)
   }
+
+  test("'>' inside quoted attribute values does not break tags") {
+    val html = """<html><body><p><a href="/x?a>b&c='>'">link text here</a> and a paragraph long enough to be kept around.</p></body></html>"""
+    val res = HtmlExtract.extract(html)
+    assert(res.blocks.length == 1)
+    assert(res.blocks.head.contains("link text here and a paragraph"))
+    assert(!res.text.contains("href"))
+    assert(!res.text.contains("b&c"))
+  }
 }

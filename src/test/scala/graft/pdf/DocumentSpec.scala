@@ -199,4 +199,46 @@ class DocumentSpec extends AnyFunSuite {
     val r = Extract("%PDF-1.4 garbage no structure".getBytes(UTF_8))
     assert(r.status == "error")
   }
+
+  test("outlines: cyclic Next chain terminates; bad Title errors the doc") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // cyclic outline items
+    val bld = new PdfFixtures.Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources ${PdfFixtures.defaultResources} /Contents 4 0 R >>")
+    val c = "BT (with outlines) Tj ET".getBytes(ISO_8859_1)
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    bld.obj(5, "<< /Type /Outlines /First 6 0 R >>")
+    bld.obj(6, "<< /Title (a) /Next 7 0 R >>")
+    bld.obj(7, "<< /Title (b) /Next 6 0 R >>") // cycle back to 6
+    val r = Extract(bld.build())
+    assert(r.status == "ok", r.error)
+    assert(r.text == "with outlines")
+
+    // Title not a string -> document error (reference outlines.go:143-146)
+    val bad = new PdfFixtures.Builder()
+    bad.obj(1, "<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>")
+    bad.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    bad.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources ${PdfFixtures.defaultResources} /Contents 4 0 R >>")
+    bad.stream(4, s"<< /Length ${c.length} >>", c)
+    bad.obj(5, "<< /Type /Outlines /First 6 0 R >>")
+    bad.obj(6, "<< /Title 42 >>")
+    val rb = Extract(bad.build())
+    assert(rb.status == "error")
+    assert(rb.error.contains("Title"))
+  }
+
+  test("AcroForm: non-dict entry errors the doc") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val bld = new PdfFixtures.Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R /AcroForm (bogus) >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources ${PdfFixtures.defaultResources} /Contents 4 0 R >>")
+    val c = "BT (x) Tj ET".getBytes(ISO_8859_1)
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    val r = Extract(bld.build())
+    assert(r.status == "error")
+    assert(r.error.contains("acroform"))
+  }
 }
