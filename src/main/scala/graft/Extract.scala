@@ -3,6 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets.UTF_8
 
 import graft.pdf._
+import graft.pdf.{Deadline, PdfTimeout}
 import graft.html.HtmlExtract
 
 /** One extracted span: page index + [start,end) byte offsets into textBytes. */
@@ -36,17 +37,31 @@ object Extract {
     */
   val DefaultMaxBytesPerDoc: Int = 64 << 20
 
-  def apply(payload: Array[Byte]): ExtractResult = apply(payload, DefaultMaxBytesPerDoc)
+  /** Per-document wall-clock budget (skew guard, SURVEY §4.3): pathological
+    * documents become status=timeout rows instead of stragglers.
+    */
+  val DefaultTimeoutMs: Long = 30000L
 
-  def apply(payload: Array[Byte], maxBytesPerDoc: Int): ExtractResult = {
+  def apply(payload: Array[Byte]): ExtractResult =
+    apply(payload, DefaultMaxBytesPerDoc, DefaultTimeoutMs)
+
+  def apply(payload: Array[Byte], maxBytesPerDoc: Int): ExtractResult =
+    apply(payload, maxBytesPerDoc, DefaultTimeoutMs)
+
+  def apply(payload: Array[Byte], maxBytesPerDoc: Int, timeoutMs: Long): ExtractResult = {
     try {
       if (payload == null || payload.length == 0)
         return ExtractResult(Array.emptyByteArray, Nil, "empty", "")
       if (payload.length > maxBytesPerDoc)
         return ExtractResult(Array.emptyByteArray, Nil, "skipped_oversize", "")
-      if (isPdf(payload)) extractPdf(payload)
-      else extractHtml(payload)
+      if (timeoutMs > 0) Deadline.set(System.nanoTime() + timeoutMs * 1000000L)
+      try {
+        if (isPdf(payload)) extractPdf(payload)
+        else extractHtml(payload)
+      } finally Deadline.clear()
     } catch {
+      case _: PdfTimeout =>
+        ExtractResult(Array.emptyByteArray, Nil, "timeout", "per-document time budget exceeded")
       case e: Throwable => // absolute backstop: a kernel bug must not fail the task
         ExtractResult(Array.emptyByteArray, Nil, "error", safeMsg(e))
     }
@@ -66,6 +81,7 @@ object Extract {
     val doc =
       try PdfDocument.open(payload)
       catch {
+        case t: PdfTimeout => throw t // handled at the top level -> status=timeout
         case e: PdfError   => return ExtractResult(Array.emptyByteArray, Nil, "error", safeMsg(e))
         case e: Exception  => return ExtractResult(Array.emptyByteArray, Nil, "error", safeMsg(e))
       }
@@ -80,7 +96,8 @@ object Extract {
           val content = doc.allContentStreams(page)
           TextExtractor.extractText(content, page.resources)
         } catch {
-          case e: Exception => PageExtract(Array.emptyByteArray, Some(safeMsg(e)))
+          case t: PdfTimeout => throw t // -> status=timeout at the top level
+          case e: Exception  => PageExtract(Array.emptyByteArray, Some(safeMsg(e)))
         }
       buf.write(pe.bytes)
       spans += Span(pageIdx, start, buf.size().toLong)

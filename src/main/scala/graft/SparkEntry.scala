@@ -75,6 +75,15 @@ object SparkEntry {
         .groupBy("r_name").agg(count(lit(1)).as("n_cust"))
         .orderBy("r_name")
     }),
+    "q10_json_props" -> ((s, dir) => {
+      // Semi-structured props column: JSON field extraction + integer sums
+      // (engine-exact arithmetic for the oracle).
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    }),
     "q04_latest_event" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val events = s.read.parquet(s"$dir/events.parquet")
@@ -221,6 +230,10 @@ object SparkEntry {
       ("SELECT user_id, event_id AS last_event_id, event_type AS last_type FROM (" +
         "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
         "FROM events) WHERE rn = 1 ORDER BY user_id"),
+    "q10_json_props" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "q05_token_count" ->
       ("SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE " +
         "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens " +

@@ -101,7 +101,10 @@ object HtmlExtract {
       current.boilerplate = current.boilerplate || boilerDepth > 0
     }
 
+    var polls = 0
     while (i < n) {
+      polls += 1
+      if ((polls & 0xfff) == 0) graft.pdf.Deadline.check() // per-doc budget
       val c = html.charAt(i)
       if (c == '<') {
         if (html.startsWith("<!--", i)) {

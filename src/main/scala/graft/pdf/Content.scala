@@ -34,7 +34,10 @@ final class ContentParser(content0: Array[Byte]) {
   def parse(): mutable.ArrayBuffer[ContentOp] = {
     val operations = mutable.ArrayBuffer.empty[ContentOp]
     try {
+      var opCount = 0
       while (true) {
+        opCount += 1
+        if ((opCount & 0x3ff) == 0) Deadline.check()
         val params = mutable.ArrayBuffer.empty[PdfObj]
         var operand: String = null
         while (operand == null) {

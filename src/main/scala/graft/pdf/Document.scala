@@ -444,6 +444,7 @@ final class PdfFileParser(val data: Array[Byte]) {
     * mismatch -> xref rebuild, cache flush, retry.
     */
   private def lookupByNumber(objNumber: Int, attemptRepairs: Boolean): PdfObj = {
+    Deadline.check()
     objCache.get(objNumber) match {
       case Some(o) => return o
       case None    =>

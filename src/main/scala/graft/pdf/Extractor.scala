@@ -31,7 +31,8 @@ object TextExtractor {
     val operations =
       try new ContentParser(content).parse()
       catch {
-        case e: PdfError => return PageExtract(Array.emptyByteArray, Some(e.getMessage))
+        case t: PdfTimeout => throw t
+        case e: PdfError   => return PageExtract(Array.emptyByteArray, Some(e.getMessage))
       }
 
     var codemap: CMap = null
@@ -139,7 +140,8 @@ object TextExtractor {
         }
       })
     } catch {
-      case e: PdfError => return PageExtract(buf.toByteArray, Some(e.getMessage))
+      case t: PdfTimeout => throw t
+      case e: PdfError   => return PageExtract(buf.toByteArray, Some(e.getMessage))
     }
     PageExtract(buf.toByteArray, None)
   }
@@ -152,7 +154,8 @@ object TextExtractor {
     val operations =
       try new ContentParser(content).parse()
       catch {
-        case e: PdfError => return PageExtract(Array.emptyByteArray, Some(e.getMessage))
+        case t: PdfTimeout => throw t
+        case e: PdfError   => return PageExtract(Array.emptyByteArray, Some(e.getMessage))
       }
     val buf = new ByteArrayOutputStream()
     var inText = false

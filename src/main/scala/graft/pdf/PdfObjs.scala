@@ -102,7 +102,28 @@ final class PdfStream(var num: Long, var gen: Long, val dict: PdfDict, var raw: 
 /** Parse/processing failure inside the kernel. Never escapes a Spark task:
   * the pipeline converts it to a status=error output row.
   */
-final class PdfError(msg: String) extends RuntimeException(msg)
+class PdfError(msg: String) extends RuntimeException(msg)
+
+/** Per-document wall-clock budget exceeded (skew guard, SURVEY.md §4.3):
+  * surfaces as a status=timeout row.
+  */
+final class PdfTimeout extends PdfError("per-document time budget exceeded")
+
+/** Thread-local cooperative deadline for the extraction kernel. All
+  * unbounded-ish loops (content ops, page loop, object lookups) poll it;
+  * 0 = no deadline.
+  */
+object Deadline {
+  private val tl = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
+  def set(deadlineNanos: Long): Unit = tl.set(deadlineNanos)
+  def clear(): Unit = tl.set(0L)
+  def check(): Unit = {
+    val d = tl.get()
+    if (d != 0L && System.nanoTime() > d) throw new PdfTimeout
+  }
+}
 
 /** Control-flow signal for Go-style io.EOF returns inside the lexers. The
   * content-stream and CMap parsers treat EOF as a clean section/stream end

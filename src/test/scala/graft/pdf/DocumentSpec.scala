@@ -241,4 +241,15 @@ class DocumentSpec extends AnyFunSuite {
     assert(r.status == "error")
     assert(r.error.contains("acroform"))
   }
+
+  test("per-doc time budget -> status=timeout") {
+    // Large operator-dense doc + 1ms budget: the cooperative deadline trips.
+    val lines = (0 until 20000).map(i => s"line number $i with some padding text")
+    val pdf = PdfFixtures.multiLinePdf(lines, 0)
+    val r = Extract(pdf, Extract.DefaultMaxBytesPerDoc, timeoutMs = 1)
+    assert(r.status == "timeout")
+    // Same doc with a sane budget extracts fine.
+    val ok = Extract(pdf, Extract.DefaultMaxBytesPerDoc, timeoutMs = 30000)
+    assert(ok.status == "ok", ok.error)
+  }
 }

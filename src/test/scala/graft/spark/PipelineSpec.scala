@@ -108,4 +108,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(nullRow.head.isNullAt(0))
     intercept[Exception](spark.sql("SELECT extract_text('not binary at all')").collect())
   }
+
+  test("entry() flagship returns rows on sf0.001") {
+    val df = graft.SparkEntry.entry(spark)
+    val n = df.count()
+    assert(n > 0)
+    assert(df.filter(col("status") === "ok").count() == n) // all fixtures extract cleanly
+  }
 }
