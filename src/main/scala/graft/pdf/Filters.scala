@@ -511,7 +511,11 @@ object Filters {
       val b3 = if (i + 2 < data.length) { n += 1; data(i + 2) & 0xff } else 0
       val b4 = if (i + 3 < data.length) { n += 1; data(i + 3) & 0xff } else 0
       val base256 = (b1.toLong << 24) | (b2.toLong << 16) | (b3.toLong << 8) | b4.toLong
-      if (base256 == 0) out.append('z')
+      // 'z' shorthand only for FULL zero groups: the reference encoder also
+      // emits it for partial final groups, which does not round-trip (its
+      // decoder expands 'z' to 4 bytes); our encoder is fixture tooling, so
+      // it avoids that corruption.
+      if (base256 == 0 && n == 4) out.append('z')
       else {
         var rem = base256
         val vals = new Array[Int](5)

@@ -1,0 +1,121 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.Extract
+import graft.fixtures.PdfFixtures
+
+/** Property tests (FIXTURES.md t4): encode->decode round-trips for every
+  * filter, string-literal write->parse round-trips, and the "kernel never
+  * throws" robustness property under random corruption.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic generator sampling (scalatestplus bridge is not in the
+    * offline cache; fixed seeds keep runs reproducible).
+    */
+  private def forAll[T](gen: Gen[T], n: Int = 60)(f: T => Unit): Unit = {
+    var i = 0
+    while (i < n) {
+      f(gen.pureApply(Gen.Parameters.default, Seed(0xC0FFEEL + i)))
+      i += 1
+    }
+  }
+
+  private val byteArrays: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 4096).flatMap(n => Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte)))
+
+  test("property: flate encode->decode is identity") {
+    forAll(byteArrays) { data =>
+      val f = new Filters.Flate(Filters.PredictorParams(1, 8, 1, 1))
+      assert(f.decodeBytes(Filters.flateEncode(data)).sameElements(data))
+    }
+  }
+
+  test("property: lzw encode->decode is identity") {
+    forAll(byteArrays) { data =>
+      assert(Filters.lzwDecode(Filters.lzwEncode(data), 0).sameElements(data))
+    }
+  }
+
+  test("property: runlength encode->decode is identity") {
+    forAll(byteArrays) { data =>
+      assert(Filters.RunLength.decodeBytes(Filters.rleEncode(data)).sameElements(data))
+    }
+  }
+
+  test("property: asciihex encode->decode is identity") {
+    forAll(byteArrays) { data =>
+      assert(Filters.AsciiHex.decodeBytes(Filters.asciiHexEncode(data)).sameElements(data))
+    }
+  }
+
+  test("property: ascii85 encode->decode is identity") {
+    forAll(byteArrays) { data =>
+      assert(Filters.Ascii85.decodeBytes(Filters.ascii85Encode(data)).sameElements(data))
+    }
+  }
+
+  test("property: string literal escape->parse round-trips raw bytes") {
+    forAll(byteArrays) { data =>
+      val lit = new java.io.ByteArrayOutputStream()
+      lit.write('(')
+      lit.write(PdfFixtures.escapeString(data))
+      lit.write(')')
+      val lx = new ObjLexer(new ByteCursor(lit.toByteArray))
+      val parsed = lx.parseString()
+      assert(parsed.bytes.sameElements(data))
+    }
+  }
+
+  test("property: s01 build->extract round-trips arbitrary text") {
+    // Printable-ish unicode strings incl. specials the escaper must handle.
+    val texts = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("()\\"), Gen.const("münchen ☂"),
+      Gen.const("\ttabs\tand spaces"))).map(_.mkString(" "))
+    forAll(texts) { text =>
+      val r = Extract(PdfFixtures.s01(text))
+      assert(r.status == "ok", r.error)
+      assert(r.text == text)
+    }
+  }
+
+  test("property: random corruption never throws (status ok/error/empty)") {
+    val base = PdfFixtures.s06("corruption target document")
+    val cases = for {
+      n <- Gen.chooseNum(1, 12)
+      edits <- Gen.listOfN(n, for {
+        pos <- Gen.chooseNum(0, base.length - 1)
+        b <- Gen.chooseNum(-128, 127)
+      } yield (pos, b.toByte))
+    } yield edits
+    forAll(cases) { edits =>
+      val corrupted = base.clone()
+      edits.foreach { case (pos, b) => corrupted(pos) = b }
+      val r = Extract(corrupted) // must not throw
+      assert(Set("ok", "error", "empty", "timeout").contains(r.status))
+    }
+  }
+
+  test("property: truncation never throws") {
+    val base = PdfFixtures.s07("truncation target text")
+    forAll(Gen.chooseNum(0, base.length)) { n =>
+      val r = Extract(java.util.Arrays.copyOf(base, n))
+      assert(Set("ok", "error", "empty", "timeout").contains(r.status))
+    }
+  }
+
+  test("property: extraction is deterministic") {
+    forAll(byteArrays) { data =>
+      val payload = ("%PDF-".getBytes(ISO_8859_1) ++ data)
+      val a = Extract(payload)
+      val b = Extract(payload)
+      assert(a.status == b.status)
+      assert(a.textBytes.sameElements(b.textBytes))
+    }
+  }
+}
