@@ -61,15 +61,21 @@ object Bench {
 
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // Corpus: operator-dense synthetic pages, materialized once at two
-    // partition layouts (identical rows).
+    // Parallelism levels derived from the session's core count: the
+    // uncontended pair (lo -> mid = N -> 4N executor proxy) and the
+    // saturation pair (mid -> hi).
+    val hi = cpus
+    val mid = math.max(2, cpus / 4)
+    val lo = math.max(1, cpus / 16)
+    // Corpus: operator-dense synthetic pages, materialized once per level
+    // (identical rows, different partition layouts).
     val pagesN = s"$tmp/pages-n"
     val pages4N = s"$tmp/pages-4n"
     queryTimes("corpus_build") = timed {
       PagesGen.pagesBench(spark, sfDir, replicas).toDF()
-        .repartition(32).write.parquet(pages4N)
-      // same rows, 8-way layout (coalesce: no extra shuffle)
-      spark.read.parquet(pages4N).coalesce(8).write.parquet(pagesN)
+        .repartition(hi).write.parquet(pages4N)
+      // same rows, mid-way layout (coalesce: no extra shuffle)
+      spark.read.parquet(pages4N).coalesce(mid).write.parquet(pagesN)
     }
     // clean scratch on exit
     sys.addShutdownHook {
@@ -88,7 +94,7 @@ object Bench {
     // their own cores and memory; (8 -> 32) additionally shows the
     // single-box saturation point (32 logical CPUs here are ~16 physical).
     val pages2 = s"$tmp/pages-2"
-    spark.read.parquet(pagesN).coalesce(2).write.parquet(pages2)
+    spark.read.parquet(pagesN).coalesce(lo).write.parquet(pages2)
     extractionPass(spark, pages4N)
     extractionPass(spark, pages4N)
     val t8s = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -111,9 +117,9 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       }
     }
-    queryTimes("extract_p2") = t2
-    queryTimes("extract_p8") = t8
-    queryTimes("extract_p32") = t32
+    queryTimes(s"extract_p$lo") = t2
+    queryTimes(s"extract_p$mid") = t8
+    queryTimes(s"extract_p$hi") = t32
 
     val tp2 = docs / t2
     val tp8 = docs / t8
@@ -125,7 +131,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".format(t32)},"docs_per_sec":${"%.1f".format(tp32)},"docs_per_sec_per_core":${"%.1f".format(tp32 / 32)}},"scaling":{"p2_docs_per_sec":${"%.1f".format(tp2)},"p8_docs_per_sec":${"%.1f".format(tp8)},"p32_docs_per_sec":${"%.1f".format(tp32)},"efficiency_2_to_8":${"%.3f".format(eff28)},"efficiency_8_to_32":${"%.3f".format(eff832)},"efficiency":${"%.3f".format(eff28)}}}""")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".format(t32)},"docs_per_sec":${"%.1f".format(tp32)},"docs_per_sec_per_core":${"%.1f".format(tp32 / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".format(tp2)},${"%.1f".format(tp8)},${"%.1f".format(tp32)}],"efficiency_n_to_4n":${"%.3f".format(eff28)},"efficiency_saturated":${"%.3f".format(eff832)},"efficiency":${"%.3f".format(eff28)}}}""")
     spark.stop()
   }
 }
