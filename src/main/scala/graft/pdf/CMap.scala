@@ -362,18 +362,25 @@ object CMapParser {
     THex(buf.length / 2, bytes)
   }
 
+  private val depthTl = new ThreadLocal[Array[Int]] { override def initialValue() = Array(0) }
+
   private def parseArray(cur: ByteCursor): TArray = {
-    cur.readByte()
-    val items = mutable.ArrayBuffer.empty[Tok]
-    var done = false
-    while (!done) {
-      skipSpaces(cur)
-      val b = cur.peekByte
-      if (b == -1) eofExit()
-      if (b == ']') { cur.readByte(); done = true }
-      else items += parseObject(cur)
-    }
-    TArray(items.toSeq)
+    val d = depthTl.get()
+    d(0) += 1
+    if (d(0) > 500) { d(0) -= 1; throw new PdfError("nesting depth exceeded") }
+    try {
+      cur.readByte()
+      val items = mutable.ArrayBuffer.empty[Tok]
+      var done = false
+      while (!done) {
+        skipSpaces(cur)
+        val b = cur.peekByte
+        if (b == -1) eofExit()
+        if (b == ']') { cur.readByte(); done = true }
+        else items += parseObject(cur)
+      }
+      TArray(items.toSeq)
+    } finally d(0) -= 1
   }
 
   private def parseDict(cur: ByteCursor): TDict = {

@@ -20,6 +20,7 @@ final case class ContentOp(operand: String, params: mutable.ArrayBuffer[PdfObj])
   *  - "BI" triggers inline-image parsing with the <ws>EI<ws> state machine.
   */
 final class ContentParser(content0: Array[Byte]) {
+  import ContentParser.MaxNestingDepth
   private val content = {
     val c = new Array[Byte](content0.length + 1)
     System.arraycopy(content0, 0, c, 0, content0.length)
@@ -27,6 +28,14 @@ final class ContentParser(content0: Array[Byte]) {
     c
   }
   private val cur = new ByteCursor(content)
+  // JVM stacks are fixed-size (Go's grow): cap recursive nesting so a
+  // pathological [[[[... becomes a clean parse error, not a StackOverflowError.
+  private var depth = 0
+  private def enter(): Unit = {
+    depth += 1
+    if (depth > MaxNestingDepth) throw new PdfError("nesting depth exceeded")
+  }
+  private def leave(): Unit = depth -= 1
 
   private def eofExit(): Nothing = throw new EofExit
 
@@ -171,6 +180,12 @@ final class ContentParser(content0: Array[Byte]) {
   }
 
   private def parseArray(): PdfArr = {
+    enter()
+    try parseArray0()
+    finally leave()
+  }
+
+  private def parseArray0(): PdfArr = {
     val arr = PdfArr.empty
     cur.readByte()
     var done = false
@@ -201,6 +216,12 @@ final class ContentParser(content0: Array[Byte]) {
 
   /** parser.go:429-494 with the glued-null workaround. */
   private def parseDict(): PdfDict = {
+    enter()
+    try parseDict0()
+    finally leave()
+  }
+
+  private def parseDict0(): PdfDict = {
     val dict = new PdfDict
     if (cur.readByte() != '<') throw new PdfError("Invalid dict")
     if (cur.readByte() != '<') throw new PdfError("Invalid dict")
@@ -344,4 +365,8 @@ final class ContentParser(content0: Array[Byte]) {
     }
     throw new IllegalStateException("unreachable")
   }
+}
+
+object ContentParser {
+  val MaxNestingDepth = 500
 }

@@ -273,12 +273,16 @@ final class PdfCrypt private[pdf] (
   }
 
   /** Object-graph decryption walk (crypt.go:687-841). */
-  def decrypt(obj: PdfObj, parentObjNum: Long, parentGenNum: Long): Unit = {
+  def decrypt(obj: PdfObj, parentObjNum: Long, parentGenNum: Long): Unit =
+    decrypt(obj, parentObjNum, parentGenNum, 0)
+
+  private def decrypt(obj: PdfObj, parentObjNum: Long, parentGenNum: Long, depth: Int): Unit = {
     if (isDecrypted(obj)) return
+    if (depth > 1000) throw new PdfError("object graph nesting depth exceeded")
     obj match {
       case io: PdfIndirect =>
         markDecrypted(io)
-        try decrypt(io.obj, io.num, io.gen)
+        try decrypt(io.obj, io.num, io.gen, depth + 1)
         catch { case rs: StringResize => io.obj = new PdfStr(rs.bytes) }
       case st: PdfStream =>
         markDecrypted(st)
@@ -308,7 +312,7 @@ final class PdfCrypt private[pdf] (
           }
           if (sf == "Identity") return
         }
-        decrypt(st.dict, st.num, st.gen)
+        decrypt(st.dict, st.num, st.gen, depth + 1)
         val okey = makeObjectKey(sf, st.num, st.gen)
         st.raw = decryptBytes(st.raw, sf, okey)
         st.dict.set("Length", PdfInt(st.raw.length))
@@ -330,7 +334,7 @@ final class PdfCrypt private[pdf] (
       case arr: PdfArr =>
         var i = 0
         while (i < arr.length) {
-          try decrypt(arr(i), parentObjNum, parentGenNum)
+          try decrypt(arr(i), parentObjNum, parentGenNum, depth + 1)
           catch { case rs: StringResize => arr(i) = new PdfStr(rs.bytes) }
           i += 1
         }
@@ -339,7 +343,7 @@ final class PdfCrypt private[pdf] (
         for (key <- d.keys) {
           if (!(isSig && key == "Contents") &&
             key != "Parent" && key != "Prev" && key != "Last") {
-            try decrypt(d.get(key), parentObjNum, parentGenNum)
+            try decrypt(d.get(key), parentObjNum, parentGenNum, depth + 1)
             catch { case rs: StringResize => d.set(key, new PdfStr(rs.bytes)) }
           }
         }

@@ -41,6 +41,14 @@ object PdfPatterns {
 final class ObjLexer(val cur: ByteCursor) {
   import PdfPatterns._
 
+  // Fixed-size JVM stacks: cap recursive nesting (see ContentParser).
+  private var depth = 0
+  private def enter(): Unit = {
+    depth += 1
+    if (depth > 500) throw new PdfError("nesting depth exceeded")
+  }
+  private def leave(): Unit = depth -= 1
+
   /** pdf/core/parser.go:74-90 (EOF here surfaces at the next peek). */
   def skipSpaces(): Int = {
     var cnt = 0
@@ -203,6 +211,12 @@ final class ObjLexer(val cur: ByteCursor) {
 
   /** pdf/core/parser.go:414-440. */
   def parseArray(): PdfArr = {
+    enter()
+    try parseArray0()
+    finally leave()
+  }
+
+  private def parseArray0(): PdfArr = {
     val arr = PdfArr.empty
     cur.readByte() // consume '['
     var done = false
@@ -270,6 +284,12 @@ final class ObjLexer(val cur: ByteCursor) {
 
   /** pdf/core/parser.go:578-645 including the glued "/Keynull" workaround. */
   def parseDict(): PdfDict = {
+    enter()
+    try parseDict0()
+    finally leave()
+  }
+
+  private def parseDict0(): PdfDict = {
     val dict = new PdfDict
     if (cur.readByte() != '<') throw new PdfError("Invalid dict")
     if (cur.readByte() != '<') throw new PdfError("Invalid dict")

@@ -307,14 +307,43 @@ final class PdfDocument(val parser: PdfFileParser,
               case fo      => buildOutlineTree(fo, visited, isRoot = false)
             }
         }
-        if (title != null) { // Next chains only followed on items
-          dict.get("Next") match {
-            case null => ()
-            case n =>
-              traceToObject(n) match {
-                case PdfNull => ()
-                case no      => buildOutlineTree(no, visited, isRoot = false)
-              }
+        if (title != null) { // Next chains only followed on items — ITERATIVE
+          // (a million-sibling flat outline must not recurse a million deep)
+          var next = dict.get("Next")
+          while (next != null) {
+            traceToObject(next) match {
+              case PdfNull => next = null
+              case no: PdfIndirect =>
+                if (visited.contains(no)) next = null
+                else {
+                  visited.add(no)
+                  val nd = no.obj match {
+                    case d: PdfDict => d
+                    case _          => throw new PdfError("Not a dictionary object")
+                  }
+                  val nt = nd.get("Title")
+                  if (nt != null) {
+                    PdfObjs.traceToDirect(traceToObject(nt)) match {
+                      case _: PdfStr => ()
+                      case _         => throw new PdfError("Title not a string")
+                    }
+                    nd.get("Count") match {
+                      case null | PdfInt(_) => ()
+                      case _                => throw new PdfError("Count not an integer")
+                    }
+                  }
+                  nd.get("First") match {
+                    case null => ()
+                    case f2 =>
+                      traceToObject(f2) match {
+                        case PdfNull => ()
+                        case fo2     => buildOutlineTree(fo2, visited, isRoot = false)
+                      }
+                  }
+                  next = if (nt != null) nd.get("Next") else null
+                }
+              case _ => throw new PdfError("Outline container not an indirect object")
+            }
           }
         }
       case _ => throw new PdfError("Outline container not an indirect object")
@@ -416,20 +445,23 @@ final class PdfDocument(val parser: PdfFileParser,
   /** In-place recursive reference resolution with a visited guard
     * (pdf/model/reader.go:627-701).
     */
-  private def traverseObjectData(o: PdfObj): Unit = {
+  private def traverseObjectData(o: PdfObj): Unit = traverseObjectData(o, 0)
+
+  private def traverseObjectData(o: PdfObj, depth: Int): Unit = {
     if (o == null || traversed.contains(o)) return
+    if (depth > 1000) throw new PdfError("object graph nesting depth exceeded")
     traversed.add(o)
     o match {
-      case io: PdfIndirect => traverseObjectData(io.obj)
-      case so: PdfStream   => traverseObjectData(so.dict)
+      case io: PdfIndirect => traverseObjectData(io.obj, depth + 1)
+      case so: PdfStream   => traverseObjectData(so.dict, depth + 1)
       case dict: PdfDict =>
         for (name <- dict.keys) {
           dict.get(name) match {
             case ref: PdfRef =>
               val resolved = parser.lookup(ref.num.toInt)
               dict.set(name, resolved)
-              traverseObjectData(resolved)
-            case v => traverseObjectData(v)
+              traverseObjectData(resolved, depth + 1)
+            case v => traverseObjectData(v, depth + 1)
           }
         }
       case arr: PdfArr =>
@@ -439,8 +471,8 @@ final class PdfDocument(val parser: PdfFileParser,
             case ref: PdfRef =>
               val resolved = parser.lookup(ref.num.toInt)
               arr(i) = resolved
-              traverseObjectData(resolved)
-            case v => traverseObjectData(v)
+              traverseObjectData(resolved, depth + 1)
+            case v => traverseObjectData(v, depth + 1)
           }
           i += 1
         }

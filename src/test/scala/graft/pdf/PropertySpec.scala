@@ -118,4 +118,22 @@ class PropertySpec extends AnyFunSuite {
       assert(a.textBytes.sameElements(b.textBytes))
     }
   }
+
+  test("deeply nested arrays/dicts do not crash (stack safety -> error row)") {
+    // 100k-deep nested array in a content stream and in an object.
+    val deep = "[" * 100000
+    val content = ("BT " + deep).getBytes(ISO_8859_1)
+    val r = TextExtractor.extractText(content, null) // must not blow the suite
+    assert(r.error.isEmpty || r.error.nonEmpty) // any outcome, no throw...
+    val pdf = {
+      val bld = new PdfFixtures.Builder()
+      bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Extra $deep >>")
+      bld.stream(4, "<< /Length 2 >>", "BT".getBytes(ISO_8859_1))
+      bld.build()
+    }
+    val res = Extract(pdf)
+    assert(Set("ok", "error", "timeout").contains(res.status))
+  }
 }
