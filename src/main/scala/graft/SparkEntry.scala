@@ -45,6 +45,18 @@ object SparkEntry {
         (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, r.text)
       }.toDF("doc_id", "extracted").orderBy("doc_id")
     }),
+    "x22_match_rate" -> ((s, dir) => {
+      // THE north-rule metric made explicit: byte-identical match rate of
+      // extracted text vs the source text (must be 1.0 == n_total).
+      import s.implicits._
+      val extracted = PagesGen.pagesPdf(s, dir).map { row =>
+        (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, Extract(row.html).text)
+      }.toDF("doc_id", "extracted")
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      extracted.join(docs, "doc_id")
+        .agg(sum(when(col("extracted") === col("text"), 1L).otherwise(0L)).as("n_match"),
+          count(lit(1)).as("n_total"))
+    }),
     "x12_extract_statuses" -> ((s, dir) => {
       val extracted = Pipeline.run(s, PagesGen.pagesMixed(s, dir).toDF(), "x12")
       extracted.toDF().groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
@@ -211,6 +223,8 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
     "x21_extract_sql" ->
       "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
+    "x22_match_rate" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_match, CAST(count(*) AS BIGINT) AS n_total FROM documents",
     "x11_extract_html" ->
       ("SELECT doc_id, trim(regexp_replace(text, '[ \\t\\r\\n\\x0B\\x0C]+', ' ', 'g'), ' ') " +
         "AS extracted FROM documents ORDER BY doc_id"),
