@@ -190,6 +190,16 @@ final class PdfDocument(val parser: PdfFileParser,
   private val traversed = java.util.Collections.newSetFromMap(
     new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
 
+  /** Flattened outline titles (the reader.go:410-443 GetOutlinesFlattened
+    * surface): item titles indented 2 spaces per depth; a "+" line precedes
+    * each descent into children. NB ordering is document order (children
+    * before later siblings); the reference's flattener walks Next before
+    * First, emitting all siblings before any children — a quirk we do not
+    * reproduce (COVERAGE.md).
+    */
+  private val outlineTitles = mutable.ArrayBuffer.empty[String]
+  def outlinesFlattened: Seq[String] = outlineTitles.toSeq
+
   val pages: Seq[PdfPage] = loadStructure()
 
   private def resolve(o: PdfObj): PdfObj = o match {
@@ -270,15 +280,22 @@ final class PdfDocument(val parser: PdfFileParser,
           case _: PdfDict =>
             val visited = java.util.Collections.newSetFromMap(
               new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
-            buildOutlineTree(io, visited, isRoot = true)
+            buildOutlineTree(io, visited, isRoot = true, depth = 0)
           case _ => throw new PdfError("Outline indirect object should contain a dictionary")
         }
       case _ => throw new PdfError("Outline root should be an indirect object")
     }
   }
 
+  private def titleString(dict: PdfDict): String = {
+    PdfObjs.traceToDirect(traceToObject(dict.get("Title"))) match {
+      case s: PdfStr => new String(s.bytes, java.nio.charset.StandardCharsets.UTF_8)
+      case _         => throw new PdfError("Title not a string")
+    }
+  }
+
   private def buildOutlineTree(obj: PdfObj, visited: java.util.Set[PdfObj],
-                               isRoot: Boolean): Unit = {
+                               isRoot: Boolean, depth: Int): Unit = {
     obj match {
       case io: PdfIndirect =>
         if (visited.contains(io)) return // cycle: stop (see loadOutlines doc)
@@ -290,10 +307,7 @@ final class PdfDocument(val parser: PdfFileParser,
         val title = dict.get("Title")
         if (title != null) {
           // Outline ITEM: Title must trace to a string; Count must be int.
-          PdfObjs.traceToDirect(traceToObject(title)) match {
-            case _: PdfStr => ()
-            case _         => throw new PdfError("Title not a string")
-          }
+          outlineTitles += ("  " * depth) + titleString(dict)
           dict.get("Count") match {
             case null | PdfInt(_) => ()
             case _                => throw new PdfError("Count not an integer")
@@ -304,7 +318,9 @@ final class PdfDocument(val parser: PdfFileParser,
           case f =>
             traceToObject(f) match {
               case PdfNull => ()
-              case fo      => buildOutlineTree(fo, visited, isRoot = false)
+              case fo =>
+                outlineTitles += ("  " * depth) + "+"
+                buildOutlineTree(fo, visited, isRoot = false, depth = depth + 1)
             }
         }
         if (title != null) { // Next chains only followed on items — ITERATIVE
@@ -323,10 +339,7 @@ final class PdfDocument(val parser: PdfFileParser,
                   }
                   val nt = nd.get("Title")
                   if (nt != null) {
-                    PdfObjs.traceToDirect(traceToObject(nt)) match {
-                      case _: PdfStr => ()
-                      case _         => throw new PdfError("Title not a string")
-                    }
+                    outlineTitles += ("  " * depth) + titleString(nd)
                     nd.get("Count") match {
                       case null | PdfInt(_) => ()
                       case _                => throw new PdfError("Count not an integer")
@@ -337,7 +350,9 @@ final class PdfDocument(val parser: PdfFileParser,
                     case f2 =>
                       traceToObject(f2) match {
                         case PdfNull => ()
-                        case fo2     => buildOutlineTree(fo2, visited, isRoot = false)
+                        case fo2 =>
+                          outlineTitles += ("  " * depth) + "+"
+                          buildOutlineTree(fo2, visited, isRoot = false, depth = depth + 1)
                       }
                   }
                   next = if (nt != null) nd.get("Next") else null

@@ -252,4 +252,20 @@ class DocumentSpec extends AnyFunSuite {
     val ok = Extract(pdf, Extract.DefaultMaxBytesPerDoc, timeoutMs = 30000)
     assert(ok.status == "ok", ok.error)
   }
+
+  test("outline titles flattened (GetOutlinesFlattened-style)") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val bld = new PdfFixtures.Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources ${PdfFixtures.defaultResources} /Contents 4 0 R >>")
+    val c = "BT (x) Tj ET".getBytes(ISO_8859_1)
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    bld.obj(5, "<< /Type /Outlines /First 6 0 R >>")
+    bld.obj(6, "<< /Title (Chapter 1) /Next 8 0 R /First 7 0 R >>")
+    bld.obj(7, "<< /Title (Section 1.1) >>")
+    bld.obj(8, "<< /Title (Chapter 2) >>")
+    val doc = PdfDocument.open(bld.build())
+    assert(doc.outlinesFlattened == Seq("+", "  Chapter 1", "  +", "    Section 1.1", "  Chapter 2"))
+  }
 }
