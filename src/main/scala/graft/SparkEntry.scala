@@ -45,6 +45,15 @@ object SparkEntry {
         (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, r.text)
       }.toDF("doc_id", "extracted").orderBy("doc_id")
     }),
+    "x23_extract_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      // Boilerplate-rich pages: nav/header/aside/footer must be stripped,
+      // leaving exactly "Doc <id>\n<collapsed text>".
+      PagesGen.pagesHtmlBoiler(s, dir).map { row =>
+        val r = Extract(row.html)
+        (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, r.text)
+      }.toDF("doc_id", "extracted").orderBy("doc_id")
+    }),
     "x22_match_rate" -> ((s, dir) => {
       // THE north-rule metric made explicit: byte-identical match rate of
       // extracted text vs the source text (must be 1.0 == n_total).
@@ -225,6 +234,11 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
     "x22_match_rate" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_match, CAST(count(*) AS BIGINT) AS n_total FROM documents",
+    "x23_extract_boilerplate" ->
+      ("SELECT doc_id, CASE WHEN norm = '' THEN 'Doc ' || CAST(doc_id AS VARCHAR) " +
+        "ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || norm END AS extracted FROM " +
+        "(SELECT doc_id, trim(regexp_replace(text, '[ \\t\\r\\n\\x0B\\x0C]+', ' ', 'g'), ' ') AS norm " +
+        "FROM documents) ORDER BY doc_id"),
     "x11_extract_html" ->
       ("SELECT doc_id, trim(regexp_replace(text, '[ \\t\\r\\n\\x0B\\x0C]+', ' ', 'g'), ' ') " +
         "AS extracted FROM documents ORDER BY doc_id"),

@@ -63,6 +63,20 @@ object PagesGen {
       }
   }
 
+  /** Boilerplate-rich HTML pages (nav/header/aside/footer junk around an
+    * article): extraction must emit exactly title + newline + content.
+    */
+  def pagesHtmlBoiler(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        PageRow(f"https://fixtures.test/hb-$id%06d",
+          new Timestamp(BaseTs + id), PdfFixtures.htmlPage(s"Doc $id", Seq(text)), "", lang)
+      }
+  }
+
   /** Bench corpus: documents replicated `replicas`x with distinct urls and
     * perturbed text (deterministic), mixed payload variants.
     */
