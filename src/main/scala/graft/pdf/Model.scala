@@ -506,6 +506,19 @@ final class PdfDocument(val parser: PdfFileParser,
       case PdfName(_)      => throw new PdfError("Page dictionary Type != Page")
       case _               => throw new PdfError("Missing/Invalid Page dictionary Type")
     }
+    // LastModified must be a date-formatted string when present
+    // (page.go:112-124, structures.go:89-101).
+    d.get("LastModified") match {
+      case null => ()
+      case lm =>
+        PdfObjs.traceToDirect(traceToObject(lm)) match {
+          case str: PdfStr =>
+            val txt = new String(str.bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+            if (!PdfDocument.reDate.matcher(txt).find())
+              throw new PdfError(s"Invalid date string ($txt)")
+          case _ => throw new PdfError("Page dictionary LastModified != string")
+        }
+    }
     val resources: PdfResources = d.get("Resources") match {
       case null =>
         inheritedResources(d) match {
@@ -518,21 +531,67 @@ final class PdfDocument(val parser: PdfFileParser,
           case _           => throw new PdfError("Invalid resource dictionary")
         }
     }
-    // MediaBox validation (errors on malformed boxes propagate, page.go:366-401).
-    d.get("MediaBox") match {
+    // Box validation (errors on malformed boxes propagate; page.go:160-228,
+    // structures.go:31-60: array of exactly 4 direct numbers).
+    for (box <- Seq("MediaBox", "CropBox", "BleedBox", "TrimBox", "ArtBox")) {
+      d.get(box) match {
+        case null => ()
+        case mb =>
+          PdfObjs.traceToDirect(traceToObject(mb)) match {
+            case a: PdfArr =>
+              if (a.length != 4) throw new PdfError("Invalid rectangle array, len != 4")
+              a.items.foreach {
+                case PdfInt(_) | PdfReal(_) => ()
+                case _                      => throw new PdfError("Not a number")
+              }
+            case _ => throw new PdfError(s"Page $box not an array")
+          }
+      }
+    }
+    // Rotate must trace to an integer (page.go:232-246).
+    d.get("Rotate") match {
       case null => ()
-      case mb =>
-        PdfObjs.traceToDirect(traceToObject(mb)) match {
-          case a: PdfArr if a.length == 4 =>
-            a.items.foreach {
-              case PdfInt(_) | PdfReal(_) => ()
-              case _: PdfRef              => () // resolved lazily in the reference
-              case _                      => throw new PdfError("MediaBox invalid")
-            }
-          case _ => throw new PdfError("MediaBox not an array / wrong length")
+      case r =>
+        PdfObjs.traceToDirect(traceToObject(r)) match {
+          case PdfInt(_) => ()
+          case _         => throw new PdfError("Invalid Page Rotate object")
         }
     }
+    loadAnnotations(d)
     new PdfPage(d, resources, d.get("Contents"))
+  }
+
+  /** LoadAnnotations (page.go:312-362): Annots must trace to an array;
+    * members are null (skipped), inline dicts, or indirect dicts; the
+    * Subtype, when present, must be a name. Per-subtype attribute models are
+    * not rebuilt (extraction never reads them) — COVERAGE.md trims.
+    */
+  private def loadAnnotations(d: PdfDict): Unit = {
+    val annotsObj = d.get("Annots")
+    if (annotsObj == null) return
+    val arr = PdfObjs.traceToDirect(traceToObject(annotsObj)) match {
+      case a: PdfArr => a
+      case _         => throw new PdfError("Annots not an array")
+    }
+    for (el <- arr.items) {
+      traceToObject(el) match {
+        case PdfNull => ()
+        case obj =>
+          val dict = obj match {
+            case ad: PdfDict => ad
+            case io: PdfIndirect =>
+              io.obj match {
+                case ad: PdfDict => ad
+                case _ => throw new PdfError("Annotation indirect object not containing a dictionary")
+              }
+            case _ => throw new PdfError("Annotation not in an indirect object")
+          }
+          dict.get("Subtype") match {
+            case null | PdfName(_) => ()
+            case _ => throw new PdfError("Invalid Subtype object type != name")
+          }
+      }
+    }
   }
 
   /** Inherited resources via the Parent chain (pdf/model/page.go:404-441). */
@@ -608,6 +667,10 @@ final class PdfDocument(val parser: PdfFileParser,
 }
 
 object PdfDocument {
+  /** PDF date string pattern (structures.go:86). */
+  private[pdf] val reDate = java.util.regex.Pattern.compile(
+    "[\\t\\n\\f\\r ]*D[\\t\\n\\f\\r ]*:[\\t\\n\\f\\r ]*(\\d{4})(\\d{2})(\\d{2})(\\d{2})(\\d{2})(\\d{2})([+\\-Z])?(\\d{2})?'?(\\d{2})?")
+
   /** Open a document from raw bytes: xrefs + trailer + page tree. */
   def open(data: Array[Byte]): PdfDocument = open(data, Nil)
 

@@ -268,4 +268,27 @@ class DocumentSpec extends AnyFunSuite {
     val doc = PdfDocument.open(bld.build())
     assert(doc.outlinesFlattened == Seq("+", "  Chapter 1", "  +", "    Section 1.1", "  Chapter 2"))
   }
+
+  test("page attribute validation: bad boxes/Rotate/LastModified/Annots error the doc") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def pageWith(extra: String): Array[Byte] = {
+      val bld = new PdfFixtures.Builder()
+      bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources ${PdfFixtures.defaultResources} /Contents 4 0 R $extra>>")
+      val c = "BT (x) Tj ET".getBytes(ISO_8859_1)
+      bld.stream(4, s"<< /Length ${c.length} >>", c)
+      bld.build()
+    }
+    assert(Extract(pageWith("/CropBox [0 0 100] ")).status == "error")          // len != 4
+    assert(Extract(pageWith("/TrimBox [0 0 (a) 100] ")).status == "error")      // non-numeric
+    assert(Extract(pageWith("/Rotate (ninety) ")).status == "error")
+    assert(Extract(pageWith("/LastModified (not-a-date) ")).status == "error")
+    assert(Extract(pageWith("/LastModified (D:20260816120000Z) ")).status == "ok")
+    assert(Extract(pageWith("/Annots 7 ")).status == "error")                   // not an array
+    assert(Extract(pageWith("/Annots [(str)] ")).status == "error")             // member not dict
+    assert(Extract(pageWith("/Annots [null << /Subtype /Link >>] ")).status == "ok")
+    assert(Extract(pageWith("/Annots [<< /Subtype (Link) >>] ")).status == "error") // subtype not name
+    assert(Extract(pageWith("/CropBox [0 0 612 792] /Rotate 90 ")).status == "ok")
+  }
 }
