@@ -1,0 +1,75 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+
+/** Production spark-submit entry point:
+  *
+  * {{{
+  * spark-submit --class graft.spark.Main unidocspark.jar \
+  *   --input  <pages parquet/iceberg-layout path>        \
+  *   --warehouse <output warehouse path>                 \
+  *   [--run-id <id>] [--buckets 4096] [--batch-buckets 64] \
+  *   [--partitions 0] [--max-bytes-per-doc 67108864]
+  * }}}
+  *
+  * Reads the Common-Crawl-shaped pages table, runs the resumable extraction
+  * job (dedup -> salted kernel -> snapshot-committed output + lineage), and
+  * prints a one-line JSON summary. Re-running after a kill resumes from the
+  * last committed snapshot.
+  *
+  * Cluster sizing notes (100 TB scale):
+  *  - buckets: choose so one bucket batch fits the cluster comfortably
+  *    (e.g. 4096 buckets / 64-bucket batches over 10^12 rows);
+  *  - executors: kernel is CPU-bound at ~100-250us/doc/core with payload-
+  *    sized memory; 4-8 GB executors with 4 cores are ample;
+  *  - spark.sql.shuffle.partitions ~ 2-4x total cores; AQE coalesces;
+  *  - spark.sql.files.maxPartitionBytes 128-256 MB keeps scan tasks even.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val input = opts.getOrElse("input", sys.error("--input required"))
+    val warehouse = opts.getOrElse("warehouse", sys.error("--warehouse required"))
+    val runId = opts.getOrElse("run-id", java.util.UUID.randomUUID().toString.take(8))
+    val buckets = opts.getOrElse("buckets", "64").toInt
+    val batchBuckets = opts.getOrElse("batch-buckets", "16").toInt
+    val partitions = opts.getOrElse("partitions", "0").toInt
+
+    // On a real cluster spark-submit provides master/conf; defaults below
+    // only apply when launched standalone.
+    val spark = SparkSession.builder()
+      .appName(s"graft-extract-$runId")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    GraftFunctions.register(spark) // expose extract_text to SQL users too
+
+    val pages = spark.read.parquet(input)
+    val t0 = System.nanoTime()
+    val snap = TableIO.runResumable(spark, pages, warehouse, runId,
+      numBuckets = buckets, batchBuckets = batchBuckets, numPartitions = partitions)
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val out = TableIO.readData(spark, warehouse).get
+    val statuses = out.groupBy("status").count().collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
+    println(
+      s"""{"run_id":"$runId","snapshot":${snap.version},"committed_buckets":${snap.committedBuckets.size},"wall_sec":${"%.1f".format(sec)},"statuses":$statuses}""")
+    spark.stop()
+  }
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (i + 1 >= args.length) sys.error(s"missing value for $a")
+        m(a.drop(2)) = args(i + 1)
+        i += 2
+      } else sys.error(s"unexpected argument: $a")
+    }
+    m.toMap
+  }
+}
