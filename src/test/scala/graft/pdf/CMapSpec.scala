@@ -96,4 +96,56 @@ endbfrange
     val got = cmap.codeMap(3)(1L)
     assert(got.sameElements(Array[Byte](0xef.toByte, 0xbf.toByte, 0xbd.toByte)))
   }
+
+  test("cmap2: 2-byte codes with zero high byte (cmap_test.go:151-215)") {
+    val data = """1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+7 beginbfrange
+<0080> <00FF> <002C>
+<802F> <902F> <0038>
+endbfrange
+""".getBytes(ISO_8859_1)
+    val cmap = CMapParser.load(data)
+    assert(new String(cmap.charcodeToUnicode(0x0080L), UTF_8) == ",")
+    assert(new String(cmap.charcodeToUnicode(0x802fL), UTF_8) == "8")
+    val s1 = cmap.charcodeBytesToUnicode(Array(0x80, 0x2F, 0x00, 0x80).map(_.toByte))
+    assert(new String(s1, UTF_8) == "8,")
+  }
+
+  test("cmap3: mixed 1/2-byte codespaces (cmap_test.go:243-326)") {
+    val data = """/CMapName /test-1 def
+/CMapType 1 def
+4 begincodespacerange
+<00> <80>
+<8100> <9fff>
+<a0> <df>
+<d040> <fbfc>
+endcodespacerange
+7 beginbfrange
+<00> <80> <10>
+<8100> <9f00> <1000>
+<a0> <d0> <90>
+<d140> <f000> <a000>
+endbfrange
+endcmap
+""".getBytes(ISO_8859_1)
+    val cmap = CMapParser.load(data)
+    assert(cmap.name == "test-1")
+    assert(cmap.ctype == 1)
+    val expectedCodespaces = Seq((1, 0x00L, 0x80L), (2, 0x8100L, 0x9fffL),
+      (1, 0xa0L, 0xdfL), (2, 0xd040L, 0xfbfcL))
+    assert(cmap.codespaces.toSeq == expectedCodespaces)
+    def one(code: Long, rune: Int): Unit =
+      assert(new String(cmap.charcodeToUnicode(code), UTF_8) == new String(Character.toChars(rune)),
+        f"code 0x$code%04X")
+    one(0x0080L, 0x10 + 0x80)
+    one(0x8100L, 0x1000)
+    one(0x00a0L, 0x90)
+    one(0xd140L, 0xa000)
+    val seq = cmap.charcodeBytesToUnicode(
+      Array(0x80, 0x81, 0x00, 0xa1, 0xd1, 0x80, 0x00).map(_.toByte))
+    val expected = new String(Array(0x90, 0x1000, 0x91, 0xa000 + 0x40, 0x10).flatMap(Character.toChars(_)))
+    assert(new String(seq, UTF_8) == expected)
+  }
 }

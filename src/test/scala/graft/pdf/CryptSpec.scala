@@ -130,4 +130,38 @@ class CryptSpec extends AnyFunSuite {
         assert(e.getMessage.contains("password"))
     }
   }
+
+  test("RC4 V2 stream decryption golden (crypt_test.go:147-218)") {
+    val id0d = Array(0x5f, 0x91, 0xff, 0xf2, 0x00, 0x88, 0x13,
+      0x5f, 0x30, 0x24, 0xd1, 0x0f, 0x28, 0x31, 0xc6, 0xfa).map(_.toByte)
+    val od = Array(0xE6, 0x00, 0xEC, 0xC2, 0x02, 0x88, 0xAD, 0x8B,
+      0x0d, 0x64, 0xA9, 0x29, 0xC6, 0xA8, 0x3E, 0xE2, 0x51,
+      0x76, 0x79, 0xAA, 0x02, 0x18, 0xBE, 0xCE, 0xEA, 0x8B, 0x79, 0x86,
+      0x72, 0x6A, 0x8C, 0xDB).map(_.toByte)
+    val ud = Array(0xED, 0x5B, 0xA7, 0x76, 0xFD, 0xD8, 0xE3, 0x89,
+      0x4F, 0x54, 0x05, 0xC1, 0x3B, 0xFD, 0x86, 0xCF, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00).map(_.toByte)
+    val crypt = new PdfCrypt(v = 2, r = 3, length = 128, o = od, u = ud,
+      oe = null, ue = null, permsBytes = null, p = -3904, encryptMetadata = true,
+      id0 = id0d, cryptFilters = Map("StdCF" -> PdfCrypt.FilterDef("V2", 128),
+        "Identity" -> PdfCrypt.FilterDef("", 0)),
+      stringFilter = "Identity", streamFilter = "Identity")
+    val streamData = Array(0xBC, 0x89, 0x86, 0x8B, 0x3E, 0xCF, 0x24, 0x1C,
+      0xC4, 0x88, 0xF3, 0x60, 0x74, 0x8A, 0x22, 0xE3, 0xAD, 0xF4, 0x48,
+      0x8E, 0x20, 0x94, 0x06, 0x4B, 0x4B, 0xB5, 0x3E, 0x93, 0x89, 0x4E,
+      0x32, 0x38, 0xB4, 0xF6, 0x05, 0x3C, 0x5D, 0x0C, 0x12, 0xE4, 0xEB,
+      0x9B, 0x8D, 0x26, 0x32, 0x7B, 0x09, 0x97, 0xA1, 0xC5, 0x98, 0xF6,
+      0xE7, 0x1C, 0x3B).map(_.toByte)
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write("2 0 obj\n<< /Length 55 >>\nstream\n".getBytes(ISO_8859_1))
+    raw.write(streamData)
+    raw.write("\nendstream\n".getBytes(ISO_8859_1))
+    val parser = new PdfFileParser(raw.toByteArray)
+    val so = parser.parseIndirectObject().asInstanceOf[PdfStream]
+    assert(crypt.authenticate(Array.emptyByteArray))
+    crypt.decrypt(so, 0, 0)
+    val exp = "  BT\n    /F1 18 Tf\n    0 0 Td\n    (Hello World) Tj\n  ET"
+    assert(new String(so.raw, ISO_8859_1) == exp)
+  }
 }

@@ -202,4 +202,12 @@ class LexerSpec extends AnyFunSuite {
     val trailer = p.loadXrefs() // must not throw
     assert(trailer.get("Size") == PdfInt(17))
   }
+
+  test("bool parsing (7.3.2)") {
+    assert(lexer("false").parseBool() == PdfBool(false))
+    assert(lexer("true").parseBool() == PdfBool(true))
+    // a "true" prefix parses as bool with the remainder left over (Go quirk)
+    assert(lexer("trueX and trailing").parseObject() == PdfBool(true))
+    assertThrows[PdfError](lexer("maybe").parseBool())
+  }
 }
