@@ -124,8 +124,10 @@ object Bench {
     val tp2 = docs / t2
     val tp8 = docs / t8
     val tp32 = docs / t32
-    val eff28 = tp8 / (4.0 * tp2)
-    val eff832 = tp32 / (4.0 * tp8)
+    // divide by the ACTUAL level ratios (lo/mid/hi are only 4x apart for
+    // specific core counts)
+    val eff28 = tp8 / ((mid.toDouble / lo) * tp2)
+    val eff832 = tp32 / ((hi.toDouble / mid) * tp8)
     val total = queryTimes.values.sum
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }

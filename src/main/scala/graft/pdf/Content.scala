@@ -69,18 +69,19 @@ final class ContentParser(content0: Array[Byte]) {
   }
 
   private def skipComments(): Unit = {
-    skipSpaces()
-    var isFirst = true
-    var done = false
-    while (!done) {
-      val b = cur.peekByte
-      if (b == -1) eofExit()
-      if (isFirst && b != '%') return
-      isFirst = false
-      if (b != '\r' && b != '\n') cur.readByte()
-      else done = true
+    while (true) { // iterative: one pass per comment line
+      skipSpaces()
+      var isFirst = true
+      var done = false
+      while (!done) {
+        val b = cur.peekByte
+        if (b == -1) eofExit()
+        if (isFirst && b != '%') return
+        isFirst = false
+        if (b != '\r' && b != '\n') cur.readByte()
+        else done = true
+      }
     }
-    skipComments()
   }
 
   /** parser.go:126-171: EOF tolerated; invalid start is a hard error. */

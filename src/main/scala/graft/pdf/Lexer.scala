@@ -58,20 +58,23 @@ final class ObjLexer(val cur: ByteCursor) {
     cnt
   }
 
-  /** pdf/core/parser.go:93-120 (multi-line comments handled recursively). */
+  /** pdf/core/parser.go:93-120. Multi-line comments are handled iteratively
+    * (the reference recurses per line; fixed JVM stacks cannot).
+    */
   def skipComments(): Unit = {
-    skipSpaces()
-    var isFirst = true
-    var done = false
-    while (!done) {
-      val b = cur.peekByte
-      if (b == -1) throw new PdfError("EOF")
-      if (isFirst && b != '%') return
-      isFirst = false
-      if (b != '\r' && b != '\n') cur.readByte()
-      else done = true
+    while (true) {
+      skipSpaces()
+      var isFirst = true
+      var done = false
+      while (!done) {
+        val b = cur.peekByte
+        if (b == -1) throw new PdfError("EOF")
+        if (isFirst && b != '%') return
+        isFirst = false
+        if (b != '\r' && b != '\n') cur.readByte()
+        else done = true
+      }
     }
-    skipComments()
   }
 
   /** pdf/core/parser.go:123-151. */

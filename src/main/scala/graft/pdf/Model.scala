@@ -257,7 +257,7 @@ final class PdfDocument(val parser: PdfFileParser,
     val out = mutable.ArrayBuffer.empty[PdfPage]
     val visited = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
-    buildPageList(ppages, null, visited, out)
+    buildPageList(ppages, null, visited, out, depth = 0)
     // Outlines and AcroForm load AFTER pages; their failures abort the
     // document just like the reference (reader.go:212-224).
     loadOutlines(catalog)
@@ -296,6 +296,7 @@ final class PdfDocument(val parser: PdfFileParser,
 
   private def buildOutlineTree(obj: PdfObj, visited: java.util.Set[PdfObj],
                                isRoot: Boolean, depth: Int): Unit = {
+    if (depth > 1000) throw new PdfError("outline nesting depth exceeded")
     obj match {
       case io: PdfIndirect =>
         if (visited.contains(io)) return // cycle: stop (see loadOutlines doc)
@@ -415,8 +416,9 @@ final class PdfDocument(val parser: PdfFileParser,
   /** pdf/model/reader.go:509-595. */
   private def buildPageList(node: PdfIndirect, parent: PdfIndirect,
                             visited: java.util.Set[PdfObj],
-                            out: mutable.ArrayBuffer[PdfPage]): Unit = {
+                            out: mutable.ArrayBuffer[PdfPage], depth: Int): Unit = {
     if (node == null) return
+    if (depth > 1000) throw new PdfError("page tree nesting depth exceeded")
     if (visited.contains(node)) return // cyclic recursion: skip
     visited.add(node)
     val nodeDict = node.obj match {
@@ -451,7 +453,7 @@ final class PdfDocument(val parser: PdfFileParser,
     }
     for (child <- kids.items) {
       child match {
-        case io: PdfIndirect => buildPageList(io, node, visited, out)
+        case io: PdfIndirect => buildPageList(io, node, visited, out, depth + 1)
         case _               => throw new PdfError("Page not indirect object")
       }
     }

@@ -31,7 +31,11 @@ final class ContentProcessor(operations: Seq[ContentOp]) {
     for (op <- operations) {
       op.operand match {
         case "q" => stack.push(gs.copy())
-        case "Q" => gs = stack.pop()
+        case "Q" =>
+          // the reference panics on an unmatched Q (slice underflow); we
+          // surface it as the standard abort error (partial text preserved)
+          if (stack.isEmpty) throw new PdfError("graphics state stack underflow (unmatched Q)")
+          gs = stack.pop()
         case "CS" => handleCS(op, resources, stroking = true)
         case "cs" => handleCS(op, resources, stroking = false)
         case "SC" => handleSC(op, stroking = true, allowPattern = false)

@@ -34,6 +34,8 @@ object Main {
     val buckets = opts.getOrElse("buckets", "64").toInt
     val batchBuckets = opts.getOrElse("batch-buckets", "16").toInt
     val partitions = opts.getOrElse("partitions", "0").toInt
+    val maxBytes = opts.getOrElse("max-bytes-per-doc",
+      graft.Extract.DefaultMaxBytesPerDoc.toString).toInt
 
     // On a real cluster spark-submit provides master/conf; defaults below
     // only apply when launched standalone.
@@ -48,7 +50,8 @@ object Main {
     val pages = spark.read.parquet(input)
     val t0 = System.nanoTime()
     val snap = TableIO.runResumable(spark, pages, warehouse, runId,
-      numBuckets = buckets, batchBuckets = batchBuckets, numPartitions = partitions)
+      numBuckets = buckets, batchBuckets = batchBuckets, numPartitions = partitions,
+      maxBytesPerDoc = maxBytes)
     val sec = (System.nanoTime() - t0) / 1e9
 
     val out = TableIO.readData(spark, warehouse).get

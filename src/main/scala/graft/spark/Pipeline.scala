@@ -26,9 +26,13 @@ object Pipeline {
 
   val DefaultMaxBytesPerDoc: Int = Extract.DefaultMaxBytesPerDoc
 
-  /** Keep the latest capture per url (SURVEY §2.10 dedup). */
+  /** Keep the latest capture per url (SURVEY §2.10 dedup). Ties on warc_ts
+    * (same-second recrawls) break deterministically by payload hash so the
+    * survivor is stable across shuffles, retries and AQE replans.
+    */
   def dedupLatest(pages: DataFrame): DataFrame = {
-    val w = Window.partitionBy("url").orderBy(col("warc_ts").desc)
+    val w = Window.partitionBy("url")
+      .orderBy(col("warc_ts").desc, xxhash64(col("html")).desc)
     pages
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -95,7 +95,8 @@ object TableIO {
       numBuckets: Int = 16,
       batchBuckets: Int = 4,
       numPartitions: Int = 0,
-      failAfterBatches: Int = -1): Snapshot = {
+      failAfterBatches: Int = -1,
+      maxBytesPerDoc: Int = Pipeline.DefaultMaxBytesPerDoc): Snapshot = {
     import java.util.UUID
     val done: Set[Int] = currentSnapshot(warehouse).map(_.committedBuckets).getOrElse(Set.empty)
     val withBucket = Pipeline
@@ -111,11 +112,16 @@ object TableIO {
       val lineageAcc: CollectionAccumulator[LineageRow] =
         spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$runId-$batchesDone")
       val extracted = Pipeline.extract(spark, subset, runId, numPartitions,
-        lineageAcc = lineageAcc)
+        maxBytesPerDoc = maxBytesPerDoc, lineageAcc = lineageAcc)
       val dataDir = s"$warehouse/data/batch-${snap.version + 1}-${UUID.randomUUID().toString.take(8)}"
       extracted.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
       val lineageDir = s"$warehouse/lineage/batch-${snap.version + 1}-${UUID.randomUUID().toString.take(8)}"
+      // Task retries / speculation can flush duplicate lineage rows (Spark
+      // only guarantees exactly-once accumulator updates inside actions):
+      // keep the LAST attempt per partition.
       val lineageRows = lineageAcc.value.asScala.toSeq
+        .groupBy(r => (r.run_id, r.partition_id))
+        .values.map(_.maxBy(_.committed_at)).toSeq
       import spark.implicits._
       lineageRows.toDF().write.mode(SaveMode.ErrorIfExists).parquet(lineageDir)
       snap = commit(warehouse, batch.toSet, Some(dataDir), Some(lineageDir))

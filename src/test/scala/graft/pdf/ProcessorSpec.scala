@@ -75,4 +75,17 @@ class ProcessorSpec extends AnyFunSuite {
     assert(extract("/DeviceRGB /DeviceGray CS").error.contains("Too many parameters"))
     assert(extract("(str) CS").error.contains("Type check error"))
   }
+
+  test("unmatched Q aborts with partial text (reference panics)") {
+    val r = extract("BT (kept) Tj ET Q BT (never) Tj ET")
+    assert(r.error.exists(_.contains("stack underflow")))
+    assert(new String(r.bytes, UTF_8) == "kept")
+  }
+
+  test("deep comment runs do not blow the stack") {
+    val content = "BT (before) Tj ET " + ("% comment line\n" * 50000) + "BT (after) Tj ET"
+    val r = extract(content)
+    assert(r.error.isEmpty, r.error)
+    assert(new String(r.bytes, UTF_8) == "beforeafter")
+  }
 }
