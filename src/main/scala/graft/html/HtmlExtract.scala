@@ -207,6 +207,31 @@ object HtmlExtract {
   private def collapseWs(s: String): String =
     s.split("[ \t\r\n\f]+").filter(_.nonEmpty).mkString(" ")
 
+  /** Common named entities beyond the XML five (the set that actually shows
+    * up in web text: punctuation, quotes, currency, Latin-1 accents).
+    */
+  private val namedEntities: Map[String, String] = Map(
+    "mdash" -> "\u2014", "ndash" -> "\u2013", "hellip" -> "\u2026",
+    "lsquo" -> "\u2018", "rsquo" -> "\u2019", "ldquo" -> "\u201c",
+    "rdquo" -> "\u201d", "laquo" -> "\u00ab", "raquo" -> "\u00bb",
+    "bull" -> "\u2022", "middot" -> "\u00b7", "dagger" -> "\u2020",
+    "copy" -> "\u00a9", "reg" -> "\u00ae", "trade" -> "\u2122",
+    "deg" -> "\u00b0", "plusmn" -> "\u00b1", "frac12" -> "\u00bd",
+    "times" -> "\u00d7", "divide" -> "\u00f7", "euro" -> "\u20ac",
+    "pound" -> "\u00a3", "cent" -> "\u00a2", "yen" -> "\u00a5",
+    "sect" -> "\u00a7", "para" -> "\u00b6", "micro" -> "\u00b5",
+    "agrave" -> "\u00e0", "aacute" -> "\u00e1", "acirc" -> "\u00e2",
+    "auml" -> "\u00e4", "aring" -> "\u00e5", "aelig" -> "\u00e6",
+    "ccedil" -> "\u00e7", "egrave" -> "\u00e8", "eacute" -> "\u00e9",
+    "ecirc" -> "\u00ea", "euml" -> "\u00eb", "igrave" -> "\u00ec",
+    "iacute" -> "\u00ed", "ntilde" -> "\u00f1", "ograve" -> "\u00f2",
+    "oacute" -> "\u00f3", "ocirc" -> "\u00f4", "ouml" -> "\u00f6",
+    "oslash" -> "\u00f8", "ugrave" -> "\u00f9", "uacute" -> "\u00fa",
+    "ucirc" -> "\u00fb", "uuml" -> "\u00fc", "szlig" -> "\u00df",
+    "Auml" -> "\u00c4", "Ouml" -> "\u00d6", "Uuml" -> "\u00dc",
+    "Eacute" -> "\u00c9", "shy" -> "", "ensp" -> " ", "emsp" -> " ",
+    "thinsp" -> " ", "zwnj" -> "", "zwj" -> "")
+
   /** Basic entity decoding: the common named entities + numeric forms. */
   def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
@@ -225,6 +250,7 @@ object HtmlExtract {
             case "quot" => "\""
             case "apos" => "'"
             case "nbsp" => " "
+            case e if namedEntities.contains(e) => namedEntities(e)
             case e if e.startsWith("#x") || e.startsWith("#X") =>
               try {
                 val cp = Integer.parseInt(e.substring(2), 16)

@@ -94,4 +94,10 @@ class HtmlSpec extends AnyFunSuite {
     assert(!res.text.contains("href"))
     assert(!res.text.contains("b&c"))
   }
+
+  test("extended named entities decode") {
+    val html = "<html><body><article><p>caf&eacute; &mdash; 50&cent; &copy; r&eacute;sum&eacute;&hellip;</p></article></body></html>"
+    val res = HtmlExtract.extract(html)
+    assert(res.blocks == Seq("caf\u00e9 \u2014 50\u00a2 \u00a9 r\u00e9sum\u00e9\u2026"))
+  }
 }

@@ -115,4 +115,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(n > 0)
     assert(df.filter(col("status") === "ok").count() == n) // all fixtures extract cleanly
   }
+
+  test("t2: fixture corpus through the pipeline, byte-identical golden join, match rate 1.0") {
+    import spark.implicits._
+    // Every PDF container variant x 25 texts, with the expected text known
+    // by construction; golden verification join per SURVEY §2.10.
+    val rows = for {
+      i <- 0 until 25
+      v <- 0 until 4
+    } yield {
+      val text = s"golden doc $i variant $v with some content to extract"
+      graft.spark.PageRow(f"https://t2/doc-$i%03d-$v", new java.sql.Timestamp(PagesGen.BaseTs + i),
+        PagesGen.payloadFor(i.toLong * 4 + v, text, v), text /* golden rides along */, "en")
+    }
+    val pages = rows.toDF()
+    val extracted = Pipeline.run(spark, pages, "t2").toDF()
+    val golden = pages.select(col("url"), col("text").as("expected"))
+    val joined = extracted.join(broadcast(golden), "url")
+    val total = joined.count()
+    assert(total == 100)
+    val matched = joined.filter(col("text") === col("expected")).count()
+    assert(matched == total) // byte-identical match rate = 1.0
+    assert(joined.filter(col("status") =!= "ok").count() == 0)
+  }
 }
