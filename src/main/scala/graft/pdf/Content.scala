@@ -51,7 +51,7 @@ final class ContentParser(content0: Array[Byte]) {
         var operand: String = null
         while (operand == null) {
           val (obj, isOperand) = parseObject()
-          if (isOperand) operand = new String(obj.asInstanceOf[PdfStr].bytes, ISO_8859_1)
+          if (isOperand) operand = ContentParser.operandString(obj.asInstanceOf[PdfStr].bytes)
           else params += obj
         }
         val op = ContentOp(operand, params)
@@ -370,4 +370,25 @@ final class ContentParser(content0: Array[Byte]) {
 
 object ContentParser {
   val MaxNestingDepth = 500
+
+  /** Known operand keywords interned to avoid a String allocation per op
+    * (Table A.1 operator summary; unknown operands still allocate).
+    */
+  private val knownOperands: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    Seq("b", "B", "b*", "B*", "BDC", "BI", "BMC", "BT", "BX", "c", "cm",
+      "CS", "cs", "d", "d0", "d1", "Do", "DP", "EI", "EMC", "ET", "EX", "f",
+      "F", "f*", "G", "g", "gs", "h", "i", "ID", "j", "J", "K", "k", "l",
+      "m", "M", "MP", "n", "q", "Q", "re", "RG", "rg", "ri", "s", "S", "SC",
+      "sc", "SCN", "scn", "sh", "T*", "Tc", "Td", "TD", "Tf", "Tj", "TJ",
+      "TL", "Tm", "Tr", "Ts", "Tw", "Tz", "v", "w", "W", "W*", "y", "'",
+      "\"").foreach(op => m.put(op, op))
+    m
+  }
+
+  private[pdf] def operandString(bytes: Array[Byte]): String = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val interned = knownOperands.get(s)
+    if (interned != null) interned else s
+  }
 }

@@ -329,26 +329,54 @@ object ObjLexer {
     * here; reference: pdf/core/parser.go:243-297 / contentstream/parser.go:193-252).
     */
   def parseNumberFrom(cur: ByteCursor): PdfObj = {
+    // Fast path: token boundaries are found WITHOUT allocation; pure-digit
+    // integer tokens (the overwhelming majority in content streams) are
+    // accumulated directly. Floats and signed/exponential forms fall back to
+    // the exact string-parse (same semantics as the reference's strconv).
+    val start = cur.pos
     var isFloat = false
     var allowSigns = true
-    val r = new StringBuilder
     var done = false
     while (!done) {
       val b = cur.peekByte
       if (b == -1) done = true // EOF handled like end of token
-      else if (allowSigns && (b == '-' || b == '+')) { r.append(cur.readByte().toChar); allowSigns = false }
-      else if (isDecimalDigit(b)) r.append(cur.readByte().toChar)
-      else if (b == '.') { r.append(cur.readByte().toChar); isFloat = true }
-      else if (b == 'e') { r.append(cur.readByte().toChar); isFloat = true; allowSigns = true }
+      else if (allowSigns && (b == '-' || b == '+')) { cur.readByte(); allowSigns = false }
+      else if (isDecimalDigit(b)) cur.readByte()
+      else if (b == '.') { cur.readByte(); isFloat = true }
+      else if (b == 'e') { cur.readByte(); isFloat = true; allowSigns = true }
       else done = true
     }
+    val end = cur.pos
+    val len = end - start
+    if (!isFloat) {
+      // digits with an optional single leading sign; overflow falls back
+      var i = start
+      var neg = false
+      var ok = len > 0 && len <= 18
+      if (ok && !isDecimalDigit(cur.data(start) & 0xff)) {
+        neg = (cur.data(start) & 0xff) == '-'
+        i += 1
+        ok = len > 1 // a bare sign is not a number
+      }
+      if (ok) {
+        var v = 0L
+        var j = i
+        while (j < end) {
+          val d = (cur.data(j) & 0xff) - '0'
+          if (d < 0 || d > 9) { ok = false; j = end }
+          else { v = v * 10 + d; j += 1 }
+        }
+        if (ok) return PdfInt(if (neg) -v else v)
+      }
+    }
+    val str = new String(cur.data, start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (isFloat) {
-      val v = try r.toString.toDouble
+      val v = try str.toDouble
       catch { case _: NumberFormatException => 0.0 } // silently 0.0 (reference quirk)
       PdfReal(v)
     } else {
-      val v = try r.toString.toLong
-      catch { case _: NumberFormatException => throw new PdfError(s"invalid integer '$r'") }
+      val v = try str.toLong
+      catch { case _: NumberFormatException => throw new PdfError(s"invalid integer '$str'") }
       PdfInt(v)
     }
   }
