@@ -21,13 +21,8 @@ final case class ContentOp(operand: String, params: mutable.ArrayBuffer[PdfObj])
   */
 final class ContentParser(content0: Array[Byte]) {
   import ContentParser.MaxNestingDepth
-  private val content = {
-    val c = new Array[Byte](content0.length + 1)
-    System.arraycopy(content0, 0, c, 0, content0.length)
-    c(content0.length) = '\n'
-    c
-  }
-  private val cur = new ByteCursor(content)
+  // virtual trailing '\n' (parser.go:32) without copying the payload
+  private val cur = new ByteCursor(content0, trailingNewline = true)
   // JVM stacks are fixed-size (Go's grow): cap recursive nesting so a
   // pathological [[[[... becomes a clean parse error, not a StackOverflowError.
   private var depth = 0

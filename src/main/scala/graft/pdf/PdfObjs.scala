@@ -195,38 +195,50 @@ object PdfObjs {
   * peek(n) returns UP TO n bytes (callers check `.length < n` exactly where
   * the reference checks bufio.Peek's io.EOF error).
   */
-final class ByteCursor(val data: Array[Byte]) {
+final class ByteCursor(val data: Array[Byte], trailingNewline: Boolean = false) {
+  // trailingNewline presents a virtual '\n' after the data without copying
+  // the payload (the content-stream parser's "+ \n" contract).
+  private val len = data.length + (if (trailingNewline) 1 else 0)
   var pos: Int = 0
-  def size: Int = data.length
-  def remaining: Int = data.length - pos
-  def atEof: Boolean = pos >= data.length
+  def size: Int = len
+  def remaining: Int = len - pos
+  def atEof: Boolean = pos >= len
+
+  @inline private def byteAt(i: Int): Int =
+    if (i < data.length) data(i) & 0xff else '\n'
 
   def peek(n: Int): Array[Byte] = {
-    val avail = math.max(0, math.min(n, data.length - pos))
+    val avail = math.max(0, math.min(n, len - pos))
     if (avail == 0) Array.emptyByteArray
-    else java.util.Arrays.copyOfRange(data, pos, pos + avail)
+    else if (pos + avail <= data.length) java.util.Arrays.copyOfRange(data, pos, pos + avail)
+    else {
+      val out = new Array[Byte](avail)
+      var i = 0
+      while (i < avail) { out(i) = byteAt(pos + i).toByte; i += 1 }
+      out
+    }
   }
   /** First byte without consuming, or -1 at EOF. */
-  def peekByte: Int = if (pos < data.length) data(pos) & 0xff else -1
+  def peekByte: Int = if (pos < len) byteAt(pos) else -1
   /** Byte at pos+i without consuming, or -1 past EOF. */
-  def peekAt(i: Int): Int = if (pos + i < data.length) data(pos + i) & 0xff else -1
+  def peekAt(i: Int): Int = if (pos + i < len) byteAt(pos + i) else -1
 
   def readByte(): Int =
-    if (pos < data.length) { val b = data(pos) & 0xff; pos += 1; b } else -1
+    if (pos < len) { val b = byteAt(pos); pos += 1; b } else -1
   def unreadByte(): Unit = if (pos > 0) pos -= 1
   def discard(n: Int): Int = {
-    val d = math.max(0, math.min(n, data.length - pos)); pos += d; d
+    val d = math.max(0, math.min(n, len - pos)); pos += d; d
   }
   /** Read exactly n bytes or fail (mirrors ReadAtLeast). */
   def readExact(n: Int): Array[Byte] = {
     if (remaining < n) throw new PdfError(s"unexpected EOF reading $n bytes")
-    val out = java.util.Arrays.copyOfRange(data, pos, pos + n)
+    val out = peek(n)
     pos += n
     out
   }
   def seek(off: Long): Unit = {
     if (off < 0) throw new PdfError(s"negative seek $off")
-    pos = math.min(off, data.length.toLong).toInt
+    pos = math.min(off, len.toLong).toInt
   }
   def offset: Long = pos.toLong
 }
