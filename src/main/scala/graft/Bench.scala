@@ -40,9 +40,15 @@ object Bench {
     * unreliable — Spark splits/packs parquet files by size).
     */
   private def extractionPass(spark: SparkSession, path: String, k: Int): Long = {
+    import spark.implicits._
     val ds = Pipeline.extract(spark, spark.read.parquet(path).coalesce(k), "bench",
       numPartitions = -1)
-    ds.rdd.map(r => r.status.length.toLong).count()
+    // Typed Dataset fold (no RDD): count rows while forcing full extraction.
+    ds.mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) { if (it.next().status ne null) n += 1 }
+      Iterator.single(n)
+    }.reduce(_ + _)
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,11 +135,19 @@ object Bench {
     val headline = Seq("q01_lineitem_agg", "q02_top_orders", "q04_latest_event",
       "q05_token_count", "q06_exact_dedup", "q09_ann_topk", "x16_minhash_groups",
       "x17_simhash", "x14_ann_lsh", "x20_multimodal_decode")
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     for (name <- headline; fn <- SparkEntry.queries.get(name)) {
-      queryTimes(name) = timed {
+      var ok = true
+      val t = timed {
         try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          ok = false
+          System.err.println(s"[bench] $name failed: $e")
+        }
       }
+      // A failed query must not masquerade as a fast success: record -1.
+      queryTimes(name) = if (ok) t else -1.0
+      if (!ok) failed += name
     }
     queryTimes(s"extract_p$lo") = t2
     queryTimes(s"extract_p$mid") = t8
@@ -146,12 +160,13 @@ object Bench {
     // specific core counts)
     val eff28 = tp8 / ((mid.toDouble / lo) * tp2)
     val eff832 = tp32 / ((hi.toDouble / mid) * tp8)
-    val total = queryTimes.values.sum
+    val total = queryTimes.values.filter(_ >= 0).sum
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".format(t32)},"docs_per_sec":${"%.1f".format(tp32)},"docs_per_sec_per_core":${"%.1f".format(tp32 / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".format(tp2)},${"%.1f".format(tp8)},${"%.1f".format(tp32)}],"efficiency_n_to_4n":${"%.3f".format(eff28)},"efficiency_saturated":${"%.3f".format(eff832)},"efficiency":${"%.3f".format(eff28)}}}""")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".format(t32)},"docs_per_sec":${"%.1f".format(tp32)},"docs_per_sec_per_core":${"%.1f".format(tp32 / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".format(tp2)},${"%.1f".format(tp8)},${"%.1f".format(tp32)}],"efficiency_n_to_4n":${"%.3f".format(eff28)},"efficiency_saturated":${"%.3f".format(eff832)},"efficiency":${"%.3f".format(eff28)}}}""")
     spark.stop()
   }
 }

@@ -123,9 +123,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q06_exact_dedup" -> ((s, dir) => {
+      // Aggregation key is sha2(text) — 32-byte shuffle key, not the corpus
+      // text; groups are identical, so the text-keyed oracle still matches.
       Dedup.exactSurvivors(s.read.parquet(s"$dir/documents.parquet"))
-        .join(s.read.parquet(s"$dir/documents.parquet").groupBy("text")
-          .agg(count(lit(1)).as("n_copies")), "text")
         .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")
     }),
@@ -139,10 +139,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q08_norm_dedup" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("norm", regexp_replace(trim(col("text")), "[ \\t\\r\\n]+", " "))
-      docs.groupBy("norm")
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      Dedup.normalizedSurvivors(s.read.parquet(s"$dir/documents.parquet"))
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
     }),
@@ -163,11 +160,13 @@ object SparkEntry {
         .limit(10)
     }),
     "x13_ann_bruteforce_cosine" -> ((s, dir) => {
+      // Quantized-integer scoring (like q09) so the DuckDB oracle reproduces
+      // scores AND tie-breaks exactly.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val qids = emb.select("vec_id").orderBy("vec_id").limit(3)
         .collect().map(_.getLong(0)).toSeq
-      Similarity.bruteForceTopK(s, emb, qids, k = 10)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.bruteForceTopKQuant(s, emb, qids, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     "x14_ann_lsh" -> ((s, dir) => {
@@ -195,12 +194,40 @@ object SparkEntry {
         .select("doc_id", "simhash").orderBy("doc_id")
     }),
     "x18_langid" -> ((s, dir) => {
-      TextOps.withLangId(s.read.parquet(s"$dir/documents.parquet"))
-        .select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+      import s.implicits._
+      // Deterministic per-language stopword-rich docs synthesized from
+      // doc_id: the detector MUST recover the planted language (the lists
+      // overlap across languages by < 5 words, so the planted one always
+      // scores highest). Oracle = the same doc_id arithmetic in SQL.
+      val langs = Seq("en", "de", "fr", "es")
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .map { id =>
+          val lang = langs((id % 4).toInt)
+          val words = TextOps.stopwords(lang).toSeq.sorted
+          val k = (id % words.length).toInt
+          (id, (words.drop(k) ++ words.take(k)).mkString(" "))
+        }.toDF("doc_id", "text")
+      TextOps.withLangId(docs).select("doc_id", "lang_pred").orderBy("doc_id")
     }),
     "x19_fingerprint" -> ((s, dir) => {
       TextOps.withFingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .select("doc_id", "fp64").orderBy("doc_id")
+    }),
+    "x25_minhash_pairs" -> ((s, dir) => {
+      // Verified near-dup pairs with INTEGER shingle intersection/union
+      // counts; the DuckDB oracle computes exact all-pairs Jaccard (feasible
+      // at verify scale) — also proves LSH recall on the planted dups.
+      Dedup.minhashDupPairs(s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+          col("un").cast("long").as("un"))
+        .orderBy("a", "b")
+    }),
+    "x26_simhash_pairs" -> ((s, dir) => {
+      // Exact hamming<=3 pairs (pigeonhole block-combo scheme); oracle is
+      // all-pairs bit_count(xor) over the FNV-based simhashes in DuckDB.
+      Dedup.simhashDupPairs(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("a", "b")
     }),
 
     // ----------------------------------------- SQL surface (Catalyst expr)
@@ -209,8 +236,10 @@ object SparkEntry {
       // the typed-kernel query x10.
       graft.spark.GraftFunctions.register(s)
       PagesGen.pagesPdf(s, dir).toDF().createOrReplaceTempView("graft_pages")
+      // doc_id = digits after the LAST '-' (same parse as x10 — robust to
+      // ids wider than the %06d zero-padding at larger scale factors).
       s.sql(
-        """SELECT CAST(substring(url, length(url) - 5, 6) AS BIGINT) AS doc_id,
+        """SELECT CAST(element_at(split(url, '-'), -1) AS BIGINT) AS doc_id,
           |       extract_text(html).text AS extracted
           |FROM graft_pages ORDER BY doc_id""".stripMargin)
     }),
@@ -222,10 +251,57 @@ object SparkEntry {
         .orderBy("doc_id")
     }))
 
+  // ---------------------------------------------------- oracle SQL helpers
+
+  /** FNV-1a 64 of a string expression, in DuckDB: unsigned mod-2^64
+    * arithmetic over HUGEINT (xor + wrapping multiply), seeded by prepending
+    * the offset basis to the codepoint list. Mirrors TextOps.fnv1a64.
+    */
+  private def fnvSql(s: String): String =
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(regexp_split_to_array($s, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      "(acc, cp) -> (xor(acc, cp) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))"
+
+  /** HUGEINT in [0, 2^64) -> signed BIGINT (two's complement). */
+  private def toSignedSql(h: String): String =
+    s"CAST(CASE WHEN $h >= CAST(9223372036854775808 AS HUGEINT) " +
+      s"THEN $h - CAST(18446744073709551616 AS HUGEINT) ELSE $h END AS BIGINT)"
+
+  /** Per-doc word-3-shingle DISTINCT sets (mirrors Dedup.shingles: lowercase,
+    * split on non-alnum, k=3, short docs collapse to one joined shingle).
+    */
+  private val shingleSetsSql: String =
+    "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) " +
+      "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+      "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shl FROM t), " +
+      "s AS (SELECT doc_id, list_distinct(shl) AS sset FROM sh), " +
+      "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+      "len(list_intersect(a.sset, b.sset)) AS inter, " +
+      "len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS un " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id), " +
+      "good AS (SELECT ia, ib, inter, un FROM pairs " +
+      "WHERE (CASE WHEN un = 0 THEN 1.0 ELSE inter * 1.0 / un END) >= 0.7)"
+
+  /** Per-doc FNV-based simhash (mirrors Dedup.simhash64). */
+  private val simhashSql: String =
+    "WITH toks AS (SELECT doc_id, tok FROM documents, " +
+      "unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(tok)), " +
+      s"hashed AS (SELECT doc_id, ${toSignedSql(fnvSql("tok"))} AS h FROM toks), " +
+      "bits AS (SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v " +
+      "FROM hashed, range(64) r(b) GROUP BY 1, 2), " +
+      "agg AS (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN v > 0 AND b < 63 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) " +
+      "+ CAST(sum(CASE WHEN v > 0 AND b = 63 THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS sh " +
+      "FROM bits GROUP BY 1), " +
+      "sim AS (SELECT d.doc_id, coalesce(a.sh, 0) AS simhash FROM documents d " +
+      "LEFT JOIN agg a ON d.doc_id = a.doc_id)"
+
   /** DuckDB-runnable oracles. Arithmetic is engine-exact by construction:
     * counts, integer-valued double sums, quantized integer dot products,
-    * identical regex classes. Extraction oracles work because the payloads
-    * are built FROM documents.text deterministically.
+    * FNV hashes in HUGEINT mod-2^64, identical regex classes. Extraction
+    * oracles work because the payloads are built FROM documents.text
+    * deterministically.
     */
   def oracleSql: Map[String, String] = Map(
     "x10_extract_pdf" ->
@@ -279,6 +355,56 @@ object SparkEntry {
     "q08_norm_dedup" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents " +
         "GROUP BY regexp_replace(trim(text), '[ \\t\\r\\n]+', ' ', 'g') ORDER BY keep_id"),
+    "x12_extract_statuses" ->
+      // The mixed corpus is all-valid by construction: every doc must be ok.
+      "SELECT 'ok' AS status, CAST(count(*) AS BIGINT) AS n FROM documents ORDER BY status",
+    "x13_ann_bruteforce_cosine" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 3), " +
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+        "CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> " +
+        "CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) * " +
+        "CAST(round(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM scored) " +
+        "SELECT query_id, neighbor_id, dot, CAST(rn AS INT) AS rank FROM ranked " +
+        "WHERE rn <= 10 ORDER BY query_id, rn"),
+    "x16_minhash_groups" ->
+      // EXACT all-pairs Jaccard groups (feasible at verify scale): the LSH
+      // result must equal ground truth — this also pins LSH recall.
+      (shingleSetsSql + ", " +
+        "nbr AS (SELECT ia AS id, ib AS nbr FROM good UNION ALL SELECT ib, ia FROM good), " +
+        "mn AS (SELECT id, min(nbr) AS m FROM nbr GROUP BY 1) " +
+        "SELECT d.doc_id, least(d.doc_id, coalesce(mn.m, d.doc_id)) AS dup_group " +
+        "FROM documents d LEFT JOIN mn ON d.doc_id = mn.id ORDER BY d.doc_id"),
+    "x25_minhash_pairs" ->
+      (shingleSetsSql +
+        " SELECT ia AS a, ib AS b, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un " +
+        "FROM good ORDER BY a, b"),
+    "x17_simhash" ->
+      (simhashSql + " SELECT doc_id, simhash FROM sim ORDER BY doc_id"),
+    "x26_simhash_pairs" ->
+      (simhashSql + ", " +
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id) " +
+        "SELECT a, b, hamming FROM p WHERE hamming <= 3 ORDER BY a, b"),
+    "x18_langid" ->
+      ("SELECT doc_id, CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
+        "WHEN 2 THEN 'fr' ELSE 'es' END AS lang_pred FROM documents ORDER BY doc_id"),
+    "x19_fingerprint" ->
+      ("WITH n AS (SELECT doc_id, regexp_replace(trim(text, ' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12)), " +
+        "'[ \\t\\r\\n\\x0B\\f]+', ' ', 'g') AS norm FROM documents), " +
+        s"h AS (SELECT doc_id, CASE WHEN norm = '' THEN CAST(14695981039346656037 AS HUGEINT) " +
+        s"ELSE ${fnvSql("norm")} END AS hu FROM n) " +
+        s"SELECT doc_id, ${toSignedSql("hu")} AS fp64 FROM h ORDER BY doc_id"),
+    "x20_multimodal_decode" ->
+      // The decode stub is a DECLARED deterministic fake (Multimodal.scala):
+      // width/height/bytes are pure doc_id arithmetic, mirrored here.
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind, " +
+        "CAST(8 + doc_id % 24 AS INT) AS width, " +
+        "CAST(8 + (doc_id // 7) % 16 AS INT) AS height, " +
+        "CAST(5 + (8 + doc_id % 24) * (8 + (doc_id // 7) % 16) AS BIGINT) AS n_bytes " +
+        "FROM documents ORDER BY doc_id"),
     "q09_ann_topk" ->
       ("WITH mn AS (SELECT min(vec_id) AS mid FROM embeddings), " +
         "q AS (SELECT embedding AS qe FROM embeddings, mn WHERE vec_id = mid) " +

@@ -141,9 +141,23 @@ object HtmlExtract {
             appendText("<")
             i += 1
           } else if (!close && rawTextTags.contains(name)) {
-            // Skip the raw-text subtree: find the matching close tag.
+            // Skip the raw-text subtree: find the matching close tag. The
+            // prefix match alone would accept "</scripty>" for "</script";
+            // require the name to END there (">", whitespace or "/").
             val closeTag = "</" + name
-            val idx = indexOfIgnoreCase(html, closeTag, tagEnd)
+            var searchFrom = tagEnd
+            var idx = -1
+            while (idx < 0 && searchFrom < n) {
+              val cand = indexOfIgnoreCase(html, closeTag, searchFrom)
+              if (cand < 0) searchFrom = n
+              else {
+                val after = cand + closeTag.length
+                val ac = if (after < n) html.charAt(after) else '>'
+                if (ac == '>' || ac == '/' || ac == ' ' || ac == '\t' ||
+                  ac == '\r' || ac == '\n' || ac == '\f') idx = cand
+                else searchFrom = cand + 1
+              }
+            }
             if (idx < 0) i = n
             else {
               val gt = html.indexOf('>', idx)

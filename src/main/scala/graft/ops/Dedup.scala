@@ -2,29 +2,49 @@ package graft.ops
 
 import scala.util.hashing.MurmurHash3
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for web-scale corpora.
   *
   * Scale notes (designed for 10^12 docs; tested at sf*):
-  *  - exact dedup is one hash-aggregate shuffle on the dedup key;
-  *  - MinHash+LSH: per-row signature (no shuffle) -> explode 16 band keys
-  *    (16x row amplification of tiny rows) -> self-join within band buckets
-  *    only (never all-pairs) -> verify candidates with exact Jaccard;
-  *  - SimHash: per-row 64-bit fingerprint -> 4x 16-bit block keys
-  *    (pigeonhole: hamming<=3 implies one identical block) -> bucket join;
-  *  - candidate verification joins back to text by doc_id; at cluster scale
-  *    buckets are salted and AQE skew-join handles hot buckets.
+  *  - exact dedup aggregates on sha2(text) — a 32-byte key — so the shuffle
+  *    moves hashes, not the corpus text;
+  *  - MinHash+LSH: per-row signature (no shuffle) -> collapse identical
+  *    signatures to ONE representative (boilerplate-identical docs cost one
+  *    row, not a quadratic bucket) -> explode 16 band keys -> self-join
+  *    within band buckets only, buckets above `maxBandBucket` excluded
+  *    (degenerate boilerplate keys) -> verify candidates with exact Jaccard
+  *    -> expand representatives back to member ids;
+  *  - SimHash: per-row 64-bit fingerprint (FNV-1a token hashes, mirrorable
+  *    in the DuckDB oracle) -> pigeonhole block-combo keys that are EXACT
+  *    for hamming<=maxDist (Manku et al., WWW'07 style: k=maxDist+3 blocks,
+  *    every 3-block subset is a key; d errors leave >=1 subset untouched)
+  *    -> candidate join over DISTINCT simhash values only;
+  *  - zero-shingle (empty/whitespace) docs are excluded from LSH banding —
+  *    they would all share every band key and go quadratic; they dedup via
+  *    the exact path instead.
   */
 object Dedup {
 
   // ------------------------------------------------------------ exact dedup
 
-  /** Exact dedup: survivors = min(doc_id) per identical text. */
+  /** Exact dedup: survivors = min(doc_id) per identical text. Aggregates on
+    * sha2-256 of the key column so the shuffle key is 32 bytes, not the full
+    * text (at 100 TB the text-keyed variant shuffles the whole corpus).
+    * Output: (text_sha, keep_id, n_copies).
+    */
   def exactSurvivors(docs: DataFrame, keyCol: String = "text",
                      idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(col(keyCol)).agg(min(col(idCol)).as("keep_id"))
+    docs.groupBy(sha2(col(keyCol), 256).as("text_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Normalized dedup: same, keyed on whitespace-collapsed text. */
+  def normalizedSurvivors(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("__norm", regexp_replace(trim(col(textCol)), "[ \\t\\r\\n]+", " "))
+      .groupBy(sha2(col("__norm"), 256).as("norm_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   // --------------------------------------------------------------- minhash
 
@@ -32,6 +52,13 @@ object Dedup {
   val NumBands = 16
   val RowsPerBand: Int = NumPerms / NumBands
   val ShingleK = 3
+
+  /** Band buckets larger than this are excluded from candidate generation
+    * (after identical signatures are collapsed, a bucket this hot is a
+    * degenerate band over boilerplate — its members still meet through
+    * their 15 other bands). Tune per corpus.
+    */
+  val DefaultMaxBandBucket = 10000
 
   /** Word k-shingles of a normalized text. */
   def shingles(text: String, k: Int = ShingleK): Array[String] = {
@@ -44,9 +71,12 @@ object Dedup {
     }
   }
 
-  /** 64-permutation MinHash signature; permutation i = murmur3(shingle, seed=i). */
+  /** 64-permutation MinHash signature; permutation i = murmur3(shingle, seed=i).
+    * Zero-shingle docs return an EMPTY signature (excluded from banding).
+    */
   def minhashSignature(text: String): Array[Int] = {
     val sh = shingles(text)
+    if (sh.isEmpty) return Array.empty
     val sig = Array.fill(NumPerms)(Int.MaxValue)
     for (s <- sh) {
       var i = 0
@@ -59,12 +89,15 @@ object Dedup {
     sig
   }
 
-  /** Band keys: hash of each band's rows (band index mixed in). */
+  /** Band keys: hash of each band's rows (band index mixed in). Empty for
+    * zero-shingle docs.
+    */
   def bandKeys(sig: Array[Int]): Array[Long] = {
+    if (sig.isEmpty) return Array.empty
     val out = new Array[Long](NumBands)
     var b = 0
     while (b < NumBands) {
-      var h = MurmurHash3.arrayHash(sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand), b)
+      val h = MurmurHash3.arrayHash(sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand), b)
       out(b) = (b.toLong << 32) | (h.toLong & 0xffffffffL)
       b += 1
     }
@@ -72,14 +105,18 @@ object Dedup {
   }
 
   def exactJaccard(a: String, b: String): Double = {
+    val (inter, union) = jaccardCounts(a, b)
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** (intersection, union) of the shingle sets — INTEGER-exact, so an ANSI
+    * SQL oracle can reproduce the verification arithmetic bit-for-bit.
+    */
+  def jaccardCounts(a: String, b: String): (Int, Int) = {
     val sa = shingles(a).toSet
     val sb = shingles(b).toSet
-    if (sa.isEmpty && sb.isEmpty) 1.0
-    else {
-      val inter = sa.intersect(sb).size
-      val union = sa.size + sb.size - inter
-      if (union == 0) 1.0 else inter.toDouble / union
-    }
+    val inter = sa.intersect(sb).size
+    (inter, sa.size + sb.size - inter)
   }
 
   /** doc_id -> (signature, band keys). */
@@ -91,26 +128,60 @@ object Dedup {
   }
 
   /** Near-duplicate PAIRS via MinHash LSH, verified with exact Jaccard.
-    * Returns (a, b, jaccard) with a < b.
+    * Returns (a, b, inter, un, jaccard) with a < b; inter/un are the exact
+    * shingle-set intersection/union sizes (integers — oracle-comparable).
+    *
+    * Identical signatures are collapsed to one representative before the
+    * band join (a million byte-identical boilerplate pages cost ONE band
+    * row); verified representative pairs are expanded back to member ids,
+    * and intra-group pairs (identical signature) are verified directly.
     */
   def minhashDupPairs(spark: SparkSession, docs: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
-                      threshold: Double = 0.7): DataFrame = {
-    val withSig = withMinhash(docs.select(col(idCol), col(textCol)), textCol)
-    val exploded = withSig
-      .select(col(idCol).as("id"), explode(col("mh_bands")).as("band"))
-    val candidates = exploded.as("l")
-      .join(exploded.as("r"), col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
+                      threshold: Double = 0.7,
+                      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val withSig = withMinhash(base, "t")
+      .filter(size(col("mh_sig")) > 0) // zero-shingle docs: exact path instead
+      .withColumn("sk", xxhash64(col("mh_sig")))
+    // One representative (min id) per distinct signature.
+    val members = withSig.select(col("sk"), col("id"))
+    val reps = withSig.groupBy("sk")
+      .agg(min("id").as("rid"), first("mh_bands").as("bands"), count(lit(1)).as("grp_n"))
+    val exploded = reps.select(col("sk"), col("rid"), explode(col("bands")).as("band"))
+    // Degenerate-band guard: drop band buckets larger than the cap.
+    val bucketOk = exploded.groupBy("band").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBandBucket).select("band")
+    val bounded = exploded.join(bucketOk, "band")
+    // Candidate SIGNATURE pairs (rep level — a million identical docs cost
+    // one row here)...
+    val candidates = bounded.as("l")
+      .join(bounded.as("r"), col("l.band") === col("r.band") && col("l.rid") < col("r.rid"))
+      .select(col("l.sk").as("ska"), col("r.sk").as("skb"))
       .distinct()
-    val texts = docs.select(col(idCol).as("tid"), col(textCol).as("ttext"))
-    val jacUdf = udf((x: String, y: String) => exactJaccard(x, y))
-    candidates
+    // ...expanded to member-id pairs (same-signature members share the same
+    // bands, so each member pair is a legitimate LSH candidate), plus the
+    // intra-group pairs (identical signature).
+    val cross = candidates
+      .join(members.withColumnRenamed("sk", "ska").withColumnRenamed("id", "ia"), "ska")
+      .join(members.withColumnRenamed("sk", "skb").withColumnRenamed("id", "ib"), "skb")
+      .select(least(col("ia"), col("ib")).as("a"), greatest(col("ia"), col("ib")).as("b"))
+    val multi = members.join(reps.filter(col("grp_n") > 1).select("sk"), "sk")
+    val intra = multi.as("l")
+      .join(multi.as("r"), col("l.sk") === col("r.sk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+    // Verify EVERY candidate pair on its own text (exact integer counts per
+    // pair — the oracle-comparable values; O(output) udf calls).
+    val texts = base.select(col("id").as("tid"), col("t").as("ttext"))
+    val cntUdf = udf((x: String, y: String) => jaccardCounts(x, y))
+    cross.unionByName(intra).distinct()
       .join(texts.withColumnRenamed("tid", "a").withColumnRenamed("ttext", "ta"), "a")
       .join(texts.withColumnRenamed("tid", "b").withColumnRenamed("ttext", "tb"), "b")
-      .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+      .withColumn("c", cntUdf(col("ta"), col("tb")))
+      .select(col("a"), col("b"), col("c._1").as("inter"), col("c._2").as("un"))
+      .withColumn("jaccard", when(col("un") === 0, 1.0)
+        .otherwise(col("inter").cast("double") / col("un")))
       .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
   }
 
   /** Per-doc dup-group assignment: canonical = min id among verified LSH
@@ -132,15 +203,16 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over unigram tokens (two murmur seeds forming 64 bits). */
+  /** 64-bit SimHash over unigram tokens. The per-token hash is FNV-1a 64
+    * (TextOps.fnv1a64) — deterministic AND expressible in the DuckDB oracle
+    * (HUGEINT mod-2^64 arithmetic), unlike JVM murmur.
+    */
   def simhash64(text: String): Long = {
     val v = new Array[Int](64)
     if (text != null) {
       val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
       for (t <- toks) {
-        val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
-        val h2 = MurmurHash3.stringHash(t, 0x85ebca6b)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        val h = TextOps.fnv1a64(t)
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) v(i) += 1 else v(i) -= 1
@@ -161,29 +233,90 @@ object Dedup {
     docs.withColumn("simhash", f(col(textCol)))
   }
 
-  /** Near-dup pairs with hamming distance <= maxDist via 4x16-bit block
-    * keys (pigeonhole guarantee for maxDist <= 3).
+  /** Pigeonhole block-combo keys for hamming <= maxDist: split 64 bits into
+    * k = maxDist + 3 blocks; every subset of 3 blocks is one key. maxDist
+    * errors can dirty at most maxDist blocks, so >= 1 subset of the
+    * remaining 3+ blocks is error-free — the scheme finds ALL pairs with
+    * hamming <= maxDist (exact recall). Key space per combo ~ 2^(3*64/k):
+    * for the default maxDist=3 that is 20 combos of ~32-bit keys — at 10^12
+    * docs a combo bucket holds ~hundreds of rows, never the 65k-bucket
+    * quadratic blowup of the old 4x16-bit scheme.
+    */
+  def simhashCombos(maxDist: Int): Seq[Seq[(Int, Int)]] = {
+    require(maxDist >= 1 && maxDist <= 13, s"maxDist out of range: $maxDist")
+    val k = maxDist + 3
+    // Block (start, width) splits of the 64 bits, as even as possible.
+    val blocks = (0 until k).map { j =>
+      val start = j * 64 / k
+      val end = (j + 1) * 64 / k
+      (start, end - start)
+    }
+    blocks.indices.combinations(3).map(c => c.map(blocks)).toSeq
+  }
+
+  /** Column expression: the combo key of `sh` for blocks [(start,width)...]
+    * — pure shifts/masks, codegen'd, no UDF.
+    */
+  private def comboKeyCol(sh: Column, combo: Seq[(Int, Int)]): Column = {
+    var acc: Column = lit(0L)
+    for ((start, width) <- combo) {
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      acc = shiftleft(acc, width)
+        .bitwiseOR(shiftrightunsigned(sh, start).bitwiseAND(lit(mask)))
+    }
+    acc
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxDist. EXACT (the block-combo
+    * scheme guarantees every qualifying pair shares >= 1 key). The candidate
+    * join runs over DISTINCT simhash values, so a million identical docs
+    * cost one candidate row; id pairs are expanded from the value groups at
+    * the end. Returns (a, b, hamming) with a < b.
     */
   def simhashDupPairs(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", maxDist: Int = 3): DataFrame = {
     val withSh = withSimhash(docs.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol).as("id"), col("simhash"))
-    val blocks = withSh.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("blk"),
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.blk"), col("bk.key"))
-    val hamUdf = udf((a: Long, b: Long) => hamming64(a, b))
-    blocks.as("l")
-      .join(blocks.as("r"),
-        col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+    val values = withSh.select(col("simhash").as("sh")).distinct()
+    val combos = simhashCombos(maxDist)
+    val keyed = values.select(col("sh"), explode(array(combos.zipWithIndex.map {
+      case (combo, ci) => struct(lit(ci).as("combo"), comboKeyCol(col("sh"), combo).as("key"))
+    }: _*)).as("ck")).select(col("sh"), col("ck.combo"), col("ck.key"))
+    val valuePairs = keyed.as("l")
+      .join(keyed.as("r"),
+        col("l.combo") === col("r.combo") && col("l.key") === col("r.key") &&
+          col("l.sh") < col("r.sh"))
+      .select(col("l.sh").as("sa"), col("r.sh").as("sb"))
       .distinct()
-      .withColumn("hamming", hamUdf(col("sa"), col("sb")))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxDist)
-      .select("a", "b", "hamming")
+    // Expand value pairs to id pairs + intra-value (hamming 0) pairs.
+    val m = withSh
+    val cross = valuePairs
+      .join(m.withColumnRenamed("simhash", "sa").withColumnRenamed("id", "ia"), "sa")
+      .join(m.withColumnRenamed("simhash", "sb").withColumnRenamed("id", "ib"), "sb")
+      .select(least(col("ia"), col("ib")).as("a"), greatest(col("ia"), col("ib")).as("b"),
+        col("hamming"))
+    val intra = m.as("l")
+      .join(m.as("r"), col("l.simhash") === col("r.simhash") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"), lit(0).as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  /** Per-doc simhash dup-group: min id over {self} + all docs whose simhash
+    * is within maxDist. Value-level aggregation only (scales with DISTINCT
+    * simhash count, not group sizes).
+    */
+  def simhashDupGroups(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", maxDist: Int = 3): DataFrame = {
+    val pairs = simhashDupPairs(docs, idCol, textCol, maxDist)
+    val neighborMin = pairs.select(col("b").as("id"), col("a").as("nbr"))
+      .union(pairs.select(col("a").as("id"), col("b").as("nbr")))
+      .groupBy("id").agg(min("nbr").as("min_nbr"))
+    docs.select(col(idCol).as("id"))
+      .join(neighborMin, Seq("id"), "left")
+      .withColumn("dup_group", least(col("id"), coalesce(col("min_nbr"), col("id"))))
+      .select(col("id").as(idCol), col("dup_group"))
   }
 
   // ------------------------------------------------------- n-gram jaccard
@@ -200,12 +333,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 5,
                         threshold: Double = 0.8): DataFrame = {
-    // LSH pre-filter via minhash bands, then exact char-ngram verification.
-    val withSig = withMinhash(docs.select(col(idCol), col(textCol)), textCol)
-    val exploded = withSig.select(col(idCol).as("id"), explode(col("mh_bands")).as("band"))
-    val candidates = exploded.as("l")
-      .join(exploded.as("r"), col("l.band") === col("r.band") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    // LSH pre-filter via minhash bands (word shingles approximate char
+    // overlap well enough for candidate generation), then exact char-ngram
+    // verification.
+    val candidates = minhashDupPairs(docs.sparkSession, docs, idCol, textCol,
+      threshold = 0.0).select("a", "b")
     val texts = docs.select(col(idCol).as("tid"), col(textCol).as("ttext"))
     val jac = udf((x: String, y: String) => {
       val sa = charNgrams(x, n); val sb = charNgrams(y, n)

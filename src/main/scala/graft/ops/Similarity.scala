@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *    corpus (computed once, reusable as a materialized column); queries
   *    probe their own bucket plus hamming-1 neighbors, so the candidate set
   *    is corpus/2^bits * (1+bits) instead of the full corpus.
+  *  - signatures are Long (up to 62 planes) and `bitsFor` scales with corpus
+  *    size UNCAPPED: at 10^12 vectors it picks ~35 bits (~2^35 buckets,
+  *    ~32 rows each) where a fixed 12-bit cap would leave 10^8-row buckets.
   */
 object Similarity {
 
@@ -51,6 +54,27 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Exact top-k by QUANTIZED INTEGER dot product — same plan as
+    * bruteForceTopK but with engine-exact arithmetic, so a SQL oracle can
+    * reproduce scores AND tie-breaks bit-for-bit.
+    */
+  def bruteForceTopKQuant(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long],
+                          k: Int = 10, idCol: String = "vec_id",
+                          embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = broadcast(
+      embeddings.filter(col(idCol).isInCollection(queryIds))
+        .select(col(idCol).as("query_id"), col(embCol).as("qe")))
+    val scored = embeddings.select(col(idCol), col(embCol).as("embedding"))
+      .crossJoin(queries)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("dot", expr(QuantDotExpr))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("dot"), col("rank"))
+  }
+
   // --------------------------------------------------------------- LSH ANN
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -62,16 +86,17 @@ object Similarity {
   }
 
   val DefaultSignatureBits = 12
+  val MaxSignatureBits = 62
 
-  /** Random-hyperplane signature of a vector. */
-  def lshSignature(v: Array[Float], bits: Int): Int = {
-    var sig = 0
+  /** Random-hyperplane signature of a vector (Long: up to 62 planes). */
+  def lshSignature(v: Array[Float], bits: Int): Long = {
+    var sig = 0L
     var p = 0
     while (p < bits) {
       var dot = 0.0
       var d = 0
       while (d < v.length) { dot += v(d) * hyperplane(p, d); d += 1 }
-      if (dot >= 0) sig |= (1 << p)
+      if (dot >= 0) sig |= (1L << p)
       p += 1
     }
     sig
@@ -83,10 +108,13 @@ object Similarity {
     embeddings.withColumn("lsh_bucket", f(col(embCol)))
   }
 
-  /** Pick a signature width that keeps ~32+ vectors per bucket. */
-  def bitsFor(corpusSize: Long): Int =
-    math.max(2, math.min(DefaultSignatureBits,
-      (math.log(math.max(1.0, corpusSize / 32.0)) / math.log(2)).toInt))
+  /** Pick a signature width that keeps ~32 vectors per bucket. UNCAPPED in
+    * corpus size (10^12 vectors -> 35 bits); bounded only by the Long width.
+    */
+  def bitsFor(corpusSize: Long): Int = {
+    val b = math.ceil(math.log(math.max(1.0, corpusSize / 32.0)) / math.log(2)).toInt
+    math.max(2, math.min(MaxSignatureBits, b))
+  }
 
   /** Approximate top-k: probe the query's bucket and all hamming-1 buckets.
     * Recall improves with probes; candidates stay ~corpus * (bits+1) / 2^bits.
@@ -97,7 +125,7 @@ object Similarity {
               bits: Int = DefaultSignatureBits): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = withLshBucket(embeddings, embCol, bits)
-    val probesUdf = udf((sig: Int) => (0 until bits).map(b => sig ^ (1 << b)) :+ sig)
+    val probesUdf = udf((sig: Long) => (0 until bits).map(b => sig ^ (1L << b)) :+ sig)
     val queries = broadcast(
       bucketed.filter(col(idCol).isInCollection(queryIds))
         .select(col(idCol).as("query_id"), col(embCol).as("qe"), col("lsh_bucket").as("qb"))
@@ -115,18 +143,71 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket + exact
     * cosine verification (the embedding analogue of minhash dedup).
+    *
+    * Bucket-size guard: buckets larger than `maxBucket` are NOT self-joined
+    * directly — their rows are re-bucketed with `extraBits` additional
+    * hyperplanes per refinement round (up to `refineRounds`), splitting
+    * crowded-but-heterogeneous buckets. Rows still crowded after the last
+    * round ARE joined (they are near-identical vectors: every pair is a
+    * true near-dup, so the output itself is what is quadratic — unavoidable).
+    * NOTE: refinement trades recall at bucket boundaries for boundedness,
+    * like any LSH scheme; near-dup pairs split by an extra plane are lost.
     */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
                             idCol: String = "vec_id",
                             embCol: String = "embedding",
-                            bits: Int = DefaultSignatureBits): DataFrame = {
-    val bucketed = withLshBucket(embeddings, embCol, bits)
+                            bits: Int = DefaultSignatureBits,
+                            maxBucket: Int = 10000,
+                            refineRounds: Int = 2,
+                            extraBits: Int = 4): DataFrame = {
+    require(bits + refineRounds * extraBits <= MaxSignatureBits,
+      "bits + refinement exceeds the 62-bit signature budget")
+    def pairsWithin(b: DataFrame): DataFrame =
+      b.as("l")
+        .join(b.as("r"),
+          col("l.lsh_bucket") === col("r.lsh_bucket") && col("l.id") < col("r.id"))
+        .withColumn("cosine", expr(cosineExpr("l.e", "r.e")))
+        .filter(col("cosine") >= threshold)
+        .select(col("l.id").as("a"), col("r.id").as("b"), col("cosine"))
+
+    var cur = withLshBucket(embeddings, embCol, bits)
       .select(col(idCol).as("id"), col(embCol).as("e"), col("lsh_bucket"))
-    bucketed.as("l")
-      .join(bucketed.as("r"),
-        col("l.lsh_bucket") === col("r.lsh_bucket") && col("l.id") < col("r.id"))
-      .withColumn("cosine", expr(cosineExpr("l.e", "r.e")))
-      .filter(col("cosine") >= threshold)
-      .select(col("l.id").as("a"), col("r.id").as("b"), col("cosine"))
+    var out: DataFrame = null
+    var round = 0
+    var curBits = bits
+    while (round <= refineRounds && cur != null) {
+      val counts = cur.groupBy("lsh_bucket").agg(count(lit(1)).as("bn"))
+      val small = cur.join(counts.filter(col("bn") <= maxBucket).select("lsh_bucket"), "lsh_bucket")
+      val p = pairsWithin(small)
+      out = if (out == null) p else out.unionByName(p)
+      if (round < refineRounds) {
+        val big = cur.join(counts.filter(col("bn") > maxBucket).select("lsh_bucket"), "lsh_bucket")
+        // Refine: append extraBits new hyperplane signatures (planes continue
+        // from curBits — deterministic, disjoint from the ones already used).
+        val fromBit = curBits
+        val refineUdf = udf((v: Seq[Float], bucket: Long) => {
+          var sig = bucket
+          var p2 = fromBit
+          while (p2 < fromBit + extraBits) {
+            var dot = 0.0
+            val arr = v
+            var d = 0
+            while (d < arr.length) { dot += arr(d) * hyperplane(p2, d); d += 1 }
+            if (dot >= 0) sig |= (1L << p2)
+            p2 += 1
+          }
+          sig
+        })
+        cur = big.withColumn("lsh_bucket", refineUdf(col("e"), col("lsh_bucket")))
+        curBits += extraBits
+      } else {
+        // Last round: join what remains (homogeneous near-identical buckets).
+        val big = cur.join(counts.filter(col("bn") > maxBucket).select("lsh_bucket"), "lsh_bucket")
+        out = out.unionByName(pairsWithin(big))
+        cur = null
+      }
+      round += 1
+    }
+    out
   }
 }

@@ -69,28 +69,51 @@ object TextOps {
 
   // ---------------------------------------------------------- fingerprinting
 
-  /** 64-bit polynomial rolling hash over the whitespace-normalized text
-    * (document fingerprint for exact-after-normalization dedup).
+  /** FNV-1a 64-bit over the UTF codepoints of a string (unsigned arithmetic
+    * in a signed Long — wrapping multiply is the same bits). This exact
+    * recipe is mirrorable in ANSI SQL (DuckDB: list_reduce over unicode()
+    * codepoints with HUGEINT mod-2^64 arithmetic), which is what makes the
+    * fingerprint/simhash queries hard-oracle-checkable.
     */
-  def fingerprint64(text: String): Long = {
-    if (text == null) return 0L
-    var h = 1469598103934665603L // FNV offset basis
+  val FnvOffset: Long = -3750763034362895579L // 14695981039346656037 as signed
+  val FnvPrime: Long = 1099511628211L
+
+  def fnv1a64(s: String): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h ^= cp.toLong
+      h *= FnvPrime
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Whitespace-normalize: trim + collapse [ \t\r\n\x0B\f]+ runs to ' '. */
+  def normalizeWs(text: String): String = {
+    if (text == null) return ""
+    val sb = new java.lang.StringBuilder(text.length)
     var lastWs = true
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      val isWs = c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f'
-      if (isWs) { lastWs = true }
+      val isWs = c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\u000B' || c == '\f'
+      if (isWs) lastWs = true
       else {
-        if (lastWs && h != 1469598103934665603L) { h ^= ' '.toLong; h *= 1099511628211L }
-        h ^= c.toLong
-        h *= 1099511628211L
+        if (lastWs && sb.length > 0) sb.append(' ')
+        sb.append(c)
         lastWs = false
       }
       i += 1
     }
-    h
+    sb.toString
   }
+
+  /** Document fingerprint: FNV-1a 64 of the whitespace-normalized text
+    * (exact-after-normalization dedup key; DuckDB-mirrorable, see fnv1a64).
+    */
+  def fingerprint64(text: String): Long = fnv1a64(normalizeWs(text))
 
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val f = udf((s: String) => fingerprint64(s))

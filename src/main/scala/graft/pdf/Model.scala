@@ -190,15 +190,21 @@ final class PdfDocument(val parser: PdfFileParser,
   private val traversed = java.util.Collections.newSetFromMap(
     new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
 
-  /** Flattened outline titles (the reader.go:410-443 GetOutlinesFlattened
+  /** Flattened outline titles (the reader.go:415-449 GetOutlinesFlattened
     * surface): item titles indented 2 spaces per depth; a "+" line precedes
-    * each descent into children. NB ordering is document order (children
-    * before later siblings); the reference's flattener walks Next before
-    * First, emitting all siblings before any children — a quirk we do not
-    * reproduce (COVERAGE.md).
+    * each descent into children. Ordering reproduces the reference's
+    * flattenFunc exactly: it recurses Next BEFORE First, so all sibling
+    * titles are emitted before any children, and the children blocks appear
+    * in REVERSE sibling order (the deepest recursion unwinds first).
     */
   private val outlineTitles = mutable.ArrayBuffer.empty[String]
   def outlinesFlattened: Seq[String] = outlineTitles.toSeq
+
+  /** Lightweight outline tree node built during validation; flattened after. */
+  private final class ONode(val title: Option[String]) {
+    var first: ONode = null
+    var next: ONode = null
+  }
 
   val pages: Seq[PdfPage] = loadStructure()
 
@@ -280,7 +286,8 @@ final class PdfDocument(val parser: PdfFileParser,
           case _: PdfDict =>
             val visited = java.util.Collections.newSetFromMap(
               new java.util.IdentityHashMap[PdfObj, java.lang.Boolean]())
-            buildOutlineTree(io, visited, isRoot = true, depth = 0)
+            val root = buildOutlineTree(io, visited, isRoot = true, depth = 0)
+            flattenOutline(root)
           case _ => throw new PdfError("Outline indirect object should contain a dictionary")
         }
       case _ => throw new PdfError("Outline root should be an indirect object")
@@ -294,21 +301,26 @@ final class PdfDocument(val parser: PdfFileParser,
     }
   }
 
+  /** Build + validate the outline tree in DOCUMENT order (the reference's
+    * buildOutlineTree walk, reader.go:259-404 — so validation errors fire in
+    * the same order), returning the head node of this sibling chain.
+    */
   private def buildOutlineTree(obj: PdfObj, visited: java.util.Set[PdfObj],
-                               isRoot: Boolean, depth: Int): Unit = {
+                               isRoot: Boolean, depth: Int): ONode = {
     if (depth > 1000) throw new PdfError("outline nesting depth exceeded")
     obj match {
       case io: PdfIndirect =>
-        if (visited.contains(io)) return // cycle: stop (see loadOutlines doc)
+        if (visited.contains(io)) return null // cycle: stop (see loadOutlines doc)
         visited.add(io)
         val dict = io.obj match {
           case d: PdfDict => d
           case _          => throw new PdfError("Not a dictionary object")
         }
         val title = dict.get("Title")
+        val head = new ONode(
+          if (title != null) Some(titleString(dict)) else None)
         if (title != null) {
           // Outline ITEM: Title must trace to a string; Count must be int.
-          outlineTitles += ("  " * depth) + titleString(dict)
           dict.get("Count") match {
             case null | PdfInt(_) => ()
             case _                => throw new PdfError("Count not an integer")
@@ -319,13 +331,12 @@ final class PdfDocument(val parser: PdfFileParser,
           case f =>
             traceToObject(f) match {
               case PdfNull => ()
-              case fo =>
-                outlineTitles += ("  " * depth) + "+"
-                buildOutlineTree(fo, visited, isRoot = false, depth = depth + 1)
+              case fo => head.first = buildOutlineTree(fo, visited, isRoot = false, depth = depth + 1)
             }
         }
         if (title != null) { // Next chains only followed on items — ITERATIVE
           // (a million-sibling flat outline must not recurse a million deep)
+          var tail = head
           var next = dict.get("Next")
           while (next != null) {
             traceToObject(next) match {
@@ -339,8 +350,9 @@ final class PdfDocument(val parser: PdfFileParser,
                     case _          => throw new PdfError("Not a dictionary object")
                   }
                   val nt = nd.get("Title")
+                  val node = new ONode(
+                    if (nt != null) Some(titleString(nd)) else None)
                   if (nt != null) {
-                    outlineTitles += ("  " * depth) + titleString(nd)
                     nd.get("Count") match {
                       case null | PdfInt(_) => ()
                       case _                => throw new PdfError("Count not an integer")
@@ -351,19 +363,46 @@ final class PdfDocument(val parser: PdfFileParser,
                     case f2 =>
                       traceToObject(f2) match {
                         case PdfNull => ()
-                        case fo2 =>
-                          outlineTitles += ("  " * depth) + "+"
+                        case fo2 => node.first =
                           buildOutlineTree(fo2, visited, isRoot = false, depth = depth + 1)
                       }
                   }
+                  tail.next = node
+                  tail = node
                   next = if (nt != null) nd.get("Next") else null
                 }
               case _ => throw new PdfError("Outline container not an indirect object")
             }
           }
         }
+        head
       case _ => throw new PdfError("Outline container not an indirect object")
     }
+  }
+
+  /** Flatten in the REFERENCE's order (reader.go:415-449 flattenFunc): item
+    * titles across the whole sibling chain first (Next is recursed before
+    * First), then each sibling's "+" + children block in REVERSE sibling
+    * order (the Next-recursion unwinds before the First descent runs).
+    */
+  private def flattenOutline(root: ONode): Unit = {
+    def walk(head: ONode, depth: Int): Unit = {
+      if (head == null) return
+      val sibs = mutable.ArrayBuffer.empty[ONode]
+      var n = head
+      while (n != null) {
+        sibs += n
+        // flattenFunc only recurses Next inside the isItem branch
+        n = if (n.title.isDefined) n.next else null
+      }
+      for (s <- sibs if s.title.isDefined)
+        outlineTitles += ("  " * depth) + s.title.get
+      for (s <- sibs.reverse if s.first != null) {
+        outlineTitles += ("  " * depth) + "+"
+        walk(s.first, depth + 1)
+      }
+    }
+    walk(root, 0)
   }
 
   /** loadForms (reader.go:447-498): AcroForm must trace to a dictionary (or

@@ -46,16 +46,20 @@ object Pipeline {
       spark: SparkSession,
       pages: DataFrame,
       runId: String,
-      numPartitions: Int = 0,
+      numPartitions: Int = -1,
       maxBytesPerDoc: Int = DefaultMaxBytesPerDoc,
       lineageAcc: CollectionAccumulator[LineageRow] = null): Dataset[ExtractedRow] = {
     import spark.implicits._
     val base = pages
       .select("url", "warc_ts", "html", "text", "lang")
       .as[PageRow]
-    // numPartitions < 0 skips the spread shuffle (input already uniformly
-    // partitioned, e.g. a freshly-bucketed parquet corpus); otherwise hash
-    // urls so each partition gets a mix of doc sizes.
+    // DEFAULT (-1) is NO pre-kernel shuffle: the scan's own partitioning
+    // (spark.sql.files.maxPartitionBytes-sized splits, or the url-hash
+    // partitioning left by dedupLatest's window) already spreads the work —
+    // re-shuffling the full payload bytes would be the single biggest data
+    // movement in the job. Pass numPartitions > 0 to opt IN to an explicit
+    // url-hash spread for inputs with measured partition skew
+    // (e.g. size-sorted ingest files), or 0 for defaultParallelism spread.
     val typed =
       if (numPartitions < 0) base
       else {
@@ -109,8 +113,11 @@ object Pipeline {
     }
   }
 
-  /** Full job: dedup -> extract. Convenience for the entry points. */
+  /** Full job: dedup -> extract. Convenience for the entry points. The
+    * dedup window already hash-partitions rows by url, so extraction runs
+    * directly on those partitions (no second shuffle).
+    */
   def run(spark: SparkSession, pages: DataFrame, runId: String,
-          numPartitions: Int = 0): Dataset[ExtractedRow] =
+          numPartitions: Int = -1): Dataset[ExtractedRow] =
     extract(spark, dedupLatest(pages), runId, numPartitions)
 }

@@ -29,11 +29,17 @@ import org.apache.spark.util.CollectionAccumulator
   */
 object TableIO {
 
+  /** numBuckets is persisted because resume correctness depends on the
+    * url->bucket assignment being IDENTICAL across runs: a different bucket
+    * count would silently remap urls, duplicating/missing documents.
+    * 0 = unknown (pre-v2 manifests).
+    */
   final case class Snapshot(
       version: Int,
       committedBuckets: Set[Int],
       dataDirs: Seq[String],
-      lineageDirs: Seq[String])
+      lineageDirs: Seq[String],
+      numBuckets: Int = 0)
 
   private def metaDir(warehouse: String): Path = Paths.get(warehouse, "metadata")
   private def hintFile(warehouse: String): Path = metaDir(warehouse).resolve("version-hint.text")
@@ -51,14 +57,15 @@ object TableIO {
     * write-manifest-then-rename-hint.
     */
   def commit(warehouse: String, buckets: Set[Int], dataDir: Option[String],
-             lineageDir: Option[String]): Snapshot = {
+             lineageDir: Option[String], numBuckets: Int = 0): Snapshot = {
     Files.createDirectories(metaDir(warehouse))
     val prev = currentSnapshot(warehouse)
     val next = Snapshot(
       version = prev.map(_.version + 1).getOrElse(1),
       committedBuckets = prev.map(_.committedBuckets).getOrElse(Set.empty) ++ buckets,
       dataDirs = prev.map(_.dataDirs).getOrElse(Nil) ++ dataDir.toSeq,
-      lineageDirs = prev.map(_.lineageDirs).getOrElse(Nil) ++ lineageDir.toSeq)
+      lineageDirs = prev.map(_.lineageDirs).getOrElse(Nil) ++ lineageDir.toSeq,
+      numBuckets = if (numBuckets > 0) numBuckets else prev.map(_.numBuckets).getOrElse(0))
     val manifest = metaDir(warehouse).resolve(s"v${next.version}.json")
     Files.write(manifest, renderManifest(next).getBytes(UTF_8))
     val tmp = metaDir(warehouse).resolve(s".version-hint.${next.version}.tmp")
@@ -94,10 +101,17 @@ object TableIO {
       runId: String,
       numBuckets: Int = 16,
       batchBuckets: Int = 4,
-      numPartitions: Int = 0,
+      numPartitions: Int = -1,
       failAfterBatches: Int = -1,
       maxBytesPerDoc: Int = Pipeline.DefaultMaxBytesPerDoc): Snapshot = {
     import java.util.UUID
+    currentSnapshot(warehouse).foreach { s =>
+      if (s.numBuckets > 0 && s.numBuckets != numBuckets)
+        throw new IllegalArgumentException(
+          s"warehouse $warehouse was committed with numBuckets=${s.numBuckets}; " +
+            s"resuming with numBuckets=$numBuckets would remap url->bucket " +
+            "assignments and duplicate/miss documents")
+    }
     val done: Set[Int] = currentSnapshot(warehouse).map(_.committedBuckets).getOrElse(Set.empty)
     val withBucket = Pipeline
       .dedupLatest(pages)
@@ -124,7 +138,7 @@ object TableIO {
         .values.map(_.maxBy(_.committed_at)).toSeq
       import spark.implicits._
       lineageRows.toDF().write.mode(SaveMode.ErrorIfExists).parquet(lineageDir)
-      snap = commit(warehouse, batch.toSet, Some(dataDir), Some(lineageDir))
+      snap = commit(warehouse, batch.toSet, Some(dataDir), Some(lineageDir), numBuckets)
       batchesDone += 1
     }
     snap
@@ -134,7 +148,7 @@ object TableIO {
 
   private def renderManifest(s: Snapshot): String = {
     def arr(xs: Seq[String]): String = xs.map(x => "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
-    s"""{"version":${s.version},"committed_buckets":${s.committedBuckets.toSeq.sorted.mkString("[", ",", "]")},"data_dirs":${arr(s.dataDirs)},"lineage_dirs":${arr(s.lineageDirs)}}"""
+    s"""{"version":${s.version},"num_buckets":${s.numBuckets},"committed_buckets":${s.committedBuckets.toSeq.sorted.mkString("[", ",", "]")},"data_dirs":${arr(s.dataDirs)},"lineage_dirs":${arr(s.lineageDirs)}}"""
   }
 
   private def parseManifest(version: Int, json: String): Snapshot = {
@@ -155,7 +169,11 @@ object TableIO {
         out.toSeq
       }
     }
+    def intField(key: String): Int = {
+      val m = java.util.regex.Pattern.compile("\"" + key + "\":(\\d+)").matcher(json)
+      if (m.find()) m.group(1).toInt else 0
+    }
     Snapshot(version, intArray("committed_buckets").toSet,
-      strArray("data_dirs"), strArray("lineage_dirs"))
+      strArray("data_dirs"), strArray("lineage_dirs"), intField("num_buckets"))
   }
 }

@@ -58,12 +58,18 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
-  test("exact dedup survivors") {
+  test("exact dedup survivors (sha2-keyed: shuffle key is the hash, not text)") {
     val docs = docsDf(Seq((5L, "aaa"), (2L, "aaa"), (3L, "bbb")))
     val surv = Dedup.exactSurvivors(docs).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(surv("aaa") == 2L)
-    assert(surv("bbb") == 3L)
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(surv == Map(2L -> 2L, 3L -> 1L))
+    // the key column is the sha2 hex, not the raw text
+    val keys = Dedup.exactSurvivors(docs).select("text_sha").collect().map(_.getString(0))
+    assert(keys.forall(k => k.length == 64 && k.matches("[0-9a-f]+")))
+
+    val norm = Dedup.normalizedSurvivors(docsDf(Seq((1L, "a  b"), (2L, "a b"), (3L, "c"))))
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(norm == Map(1L -> 2L, 3L -> 1L))
   }
 
   test("language id heuristic") {

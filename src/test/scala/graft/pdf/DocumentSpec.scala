@@ -266,7 +266,10 @@ class DocumentSpec extends AnyFunSuite {
     bld.obj(7, "<< /Title (Section 1.1) >>")
     bld.obj(8, "<< /Title (Chapter 2) >>")
     val doc = PdfDocument.open(bld.build())
-    assert(doc.outlinesFlattened == Seq("+", "  Chapter 1", "  +", "    Section 1.1", "  Chapter 2"))
+    // Reference flattenFunc order (reader.go:415-449): Next recursed BEFORE
+    // First, so sibling titles come before any children block.
+    assert(doc.outlinesFlattened ==
+      Seq("+", "  Chapter 1", "  Chapter 2", "  +", "    Section 1.1"))
   }
 
   test("page attribute validation: bad boxes/Rotate/LastModified/Annots error the doc") {
