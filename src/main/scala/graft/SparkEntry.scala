@@ -31,8 +31,10 @@ object SparkEntry {
     // ----------------------------------------------------- extraction (E2E)
     "x10_extract_pdf" -> ((s, dir) => {
       import s.implicits._
-      // PDF payload variants rotate (classic xref / flate / objstm / multi-
-      // filter); extraction must return the exact original text.
+      // PDF payload variants rotate through ALL 11 container families
+      // (classic xref / flate / objstm+xref-stream / multi-filter / ToUnicode
+      // CMap / RC4 crypt / AESV2 crypt / startxref repair / LZW / RLE /
+      // inline image); extraction must return the exact original text.
       PagesGen.pagesPdf(s, dir).map { row =>
         val r = Extract(row.html)
         (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, r.text)

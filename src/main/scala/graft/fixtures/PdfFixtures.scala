@@ -38,6 +38,8 @@ object PdfFixtures {
 
     private val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, Body)]
     var rootRef = "1 0 R"
+    /** Extra trailer entries, e.g. "/Encrypt 5 0 R /ID [<aa> <aa>]". */
+    var trailerExtra = ""
 
     def obj(num: Int, src: String): Builder = { objs += ((num, Direct(b(src)))); this }
     def stream(num: Int, dictSrc: String, raw: Array[Byte]): Builder = {
@@ -76,10 +78,11 @@ object PdfFixtures {
         }
         n += 1
       }
+      val extra = if (trailerExtra.isEmpty) "" else s" $trailerExtra"
       if (gluedTrailer)
-        out.write(b(s"trailer<< /Root $rootRef /Size ${maxNum + 1} >>\n"))
+        out.write(b(s"trailer<< /Root $rootRef /Size ${maxNum + 1}$extra >>\n"))
       else
-        out.write(b(s"trailer\n<< /Root $rootRef /Size ${maxNum + 1} >>\n"))
+        out.write(b(s"trailer\n<< /Root $rootRef /Size ${maxNum + 1}$extra >>\n"))
       out.write(b(s"startxref\n${startxrefOverride.getOrElse(xrefOffset)}\n%%EOF\n"))
       out.toByteArray
     }
@@ -321,6 +324,111 @@ object PdfFixtures {
     bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
     bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
     bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>")
+    bld.build()
+  }
+
+  /** sLzw: LZWDecode content stream (EarlyChange 0, matching the encoder).
+    * NB the reference reads /EarlyChange from the STREAM dict, not from
+    * /DecodeParms (encoding.go:553 reads encDict) — a quirk the kernel
+    * mirrors, so the fixture must author it there too.
+    */
+  def sLzw(text: String = "Hello World"): Array[Byte] = {
+    val enc = Filters.lzwEncode(contentFor(text))
+    onePage(s"<< /Filter /LZWDecode /EarlyChange 0 /Length ${enc.length} >>", enc)
+  }
+
+  /** sRle: RunLengthDecode content stream. */
+  def sRle(text: String = "Hello World"): Array[Byte] = {
+    val enc = Filters.rleEncode(contentFor(text))
+    onePage(s"<< /Filter /RunLengthDecode /Length ${enc.length} >>", enc)
+  }
+
+  /** sCmapDoc: ARBITRARY text routed through a ToUnicode CMap — every
+    * distinct codepoint gets a 2-byte charcode, the content shows the hex
+    * code string, and extraction must map codes back to the exact text
+    * (exercises the cmap.go:50-78 greedy byte decode end-to-end).
+    */
+  def sCmapDoc(text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray.distinct.sorted
+    val code = cps.zipWithIndex.map { case (cp, i) => cp -> (i + 1) }.toMap
+    val hexStr = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        sb.append(f"${code(cp)}%04X")
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    val bf = cps.map { cp =>
+      val dst = new String(Character.toChars(cp))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        .map(x => f"${x & 0xff}%02X").mkString
+      f"<${code(cp)}%04X> <$dst>"
+    }
+    // bfchar blocks are capped at 100 entries each (PDF spec convention).
+    val bfBlocks = bf.grouped(100).map { chunk =>
+      s"${chunk.length} beginbfchar\n${chunk.mkString("\n")}\nendbfchar"
+    }.mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |12 dict begin
+         |begincmap
+         |/CMapName /Graft-Identity-UCS def
+         |/CMapType 2 def
+         |1 begincodespacerange
+         |<0000> <FFFF>
+         |endcodespacerange
+         |$bfBlocks
+         |endcmap
+         |CMapName currentdict /CMap defineresource pop
+         |end
+         |end""".stripMargin
+    val cmapBytes = cmap.getBytes(ISO_8859_1)
+    val res = "<< /Font << /F1 << /Type /Font /Subtype /Type0 /BaseFont /Ident /ToUnicode 5 0 R >> >> >>"
+    val c = b(s"BT /F1 12 Tf <$hexStr> Tj ET")
+    onePage(s"<< /Length ${c.length} >>", c, resources = res,
+      extra = bld => bld.stream(5, s"<< /Length ${cmapBytes.length} >>", cmapBytes))
+  }
+
+  /** Encrypted one-page doc (empty USER password — decrypts transparently):
+    * RC4 V2/R3 128-bit, or AESV2 V4/R4. The content stream is the only
+    * encrypted payload (no strings in the fixture's object graph).
+    */
+  def sEncrypted(text: String, docId: Long, aes: Boolean): Array[Byte] = {
+    import PdfEncrypt._
+    val content = contentFor(text)
+    val p = -1
+    val id0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-id-$docId".getBytes(ISO_8859_1))
+    val opass = "graft-owner".getBytes(ISO_8859_1)
+    val upass = Array.emptyByteArray
+    val r = if (aes) 4 else 3
+    val o = alg3O(opass, upass, r, 128)
+    val ekey = alg2Key(upass, o, p, id0, r, 128)
+    val u = alg5U(ekey, id0)
+    val okey = objectKey(ekey, 4, 0, aes)
+    val encContent =
+      if (aes) {
+        val iv = java.util.Arrays.copyOf(java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-iv-$docId".getBytes(ISO_8859_1)), 16)
+        aesEncrypt(okey, iv, content)
+      } else graft.pdf.PdfCrypt.rc4(okey, content)
+    val encDict =
+      if (aes)
+        s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p /O <${hex(o)}> /U <${hex(u)}> " +
+          "/CF << /StdCF << /Type /CryptFilter /CFM /AESV2 /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF >>"
+      else
+        s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p /O <${hex(o)}> /U <${hex(u)}> >>"
+    val bld = new Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${encContent.length} >>", encContent)
+    bld.obj(5, encDict)
+    bld.trailerExtra = s"/Encrypt 5 0 R /ID [<${hex(id0)}> <${hex(id0)}>]"
     bld.build()
   }
 

@@ -18,13 +18,28 @@ object PagesGen {
 
   val BaseTs = 1767225600000L // 2026-01-01T00:00:00Z
 
+  /** Number of rotating PDF payload variants (HTML is variant PdfVariants
+    * in the mixed corpus). Every variant must round-trip the document text
+    * byte-identically through the kernel — that is what the x10 DuckDB
+    * oracle checks, so ALL the families below (incl. crypt, CMap, repairs,
+    * LZW/RLE, inline images) carry hard end-to-end evidence.
+    */
+  val PdfVariants = 11
+
   /** Deterministic payload for one document. */
   def payloadFor(docId: Long, text: String, variant: Int): Array[Byte] = variant match {
-    case 0 => PdfFixtures.s01(text)          // classic xref, raw content
-    case 1 => PdfFixtures.s06(text)          // FlateDecode content
-    case 2 => PdfFixtures.s07(text)          // xref stream + objstm + predictor
-    case 3 => PdfFixtures.s11(text)          // multi-filter [A85, Flate]
-    case _ => PdfFixtures.htmlSimple(text)   // HTML branch
+    case 0  => PdfFixtures.s01(text)                    // classic xref, raw content
+    case 1  => PdfFixtures.s06(text)                    // FlateDecode content
+    case 2  => PdfFixtures.s07(text)                    // xref stream + objstm + predictor
+    case 3  => PdfFixtures.s11(text)                    // multi-filter [A85, Flate]
+    case 4  => PdfFixtures.sCmapDoc(text)               // ToUnicode CMap hex codes
+    case 5  => PdfFixtures.sEncrypted(text, docId, aes = false) // RC4 V2/R3 crypt
+    case 6  => PdfFixtures.sEncrypted(text, docId, aes = true)  // AESV2 V4/R4 crypt
+    case 7  => PdfFixtures.s12(text)                    // broken startxref -> repair
+    case 8  => PdfFixtures.sLzw(text)                   // LZWDecode content
+    case 9  => PdfFixtures.sRle(text)                   // RunLengthDecode content
+    case 10 => PdfFixtures.s15(text)                    // inline image (BI/ID/EI) + text
+    case _  => PdfFixtures.htmlSimple(text)             // HTML branch
   }
 
   /** pages table with PDF payloads only (for exact byte round-trip checks). */
@@ -35,7 +50,7 @@ object PagesGen {
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
         PageRow(f"https://fixtures.test/doc-$id%06d",
-          new Timestamp(BaseTs + id), payloadFor(id, text, (id % 4).toInt), "", lang)
+          new Timestamp(BaseTs + id), payloadFor(id, text, (id % PdfVariants).toInt), "", lang)
       }
   }
 
@@ -59,7 +74,7 @@ object PagesGen {
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
         PageRow(f"https://fixtures.test/doc-$id%06d",
-          new Timestamp(BaseTs + id), payloadFor(id, text, (id % 5).toInt), "", lang)
+          new Timestamp(BaseTs + id), payloadFor(id, text, (id % (PdfVariants + 1)).toInt), "", lang)
       }
   }
 
