@@ -432,6 +432,55 @@ object PdfFixtures {
     bld.build()
   }
 
+  /** sSeparation: text shown after a Separation-space scn whose Type-4
+    * PostScript tint transform EVALUATES successfully ({dup dup}: tint ->
+    * (t,t,t) in DeviceRGB). Exercises ps parse + exec + alternate-space
+    * range checks end-to-end; extraction must return the exact text.
+    */
+  def sSeparation(text: String): Array[Byte] = {
+    val prog = b("{ dup dup }")
+    val res = s"<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> " +
+      "/ColorSpace << /Sep0 [/Separation /Spot /DeviceRGB 5 0 R] >> >>"
+    val esc = new String(escapeStringText(text), ISO_8859_1)
+    val c = b(s"/Sep0 cs 0.35 scn BT /F1 12 Tf ($esc) Tj ET")
+    onePage(s"<< /Length ${c.length} >>", c, resources = res,
+      extra = bld => bld.stream(5,
+        s"<< /FunctionType 4 /Domain [0 1] /Range [0 1 0 1 0 1] /Length ${prog.length} >>", prog))
+  }
+
+  /** Separation scn whose tint FAILS at evaluation time (kind selects how):
+    * partial text before the scn + error status, matching the reference's
+    * abort-with-partial-text contract.
+    *  - "range":  {2 mul} pushes 1.6 -> DeviceGray range check fails
+    *  - "type3":  stitching function -> reference's "Not implemented yet"
+    *  - "psop":   unsupported PS operand at exec time
+    */
+  def sSeparationFailing(kind: String, before: String = "partial"): Array[Byte] = {
+    val esc = new String(escapeStringText(before), ISO_8859_1)
+    val res = s"<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> " +
+      "/ColorSpace << /Sep0 [/Separation /Spot /DeviceGray 5 0 R] >> >>"
+    val c = b(s"BT /F1 12 Tf ($esc) Tj ET /Sep0 cs 0.8 scn BT (never) Tj ET")
+    kind match {
+      case "range" =>
+        val prog = b("{ 2 mul }")
+        onePage(s"<< /Length ${c.length} >>", c, resources = res,
+          extra = bld => bld.stream(5,
+            s"<< /FunctionType 4 /Domain [0 1] /Range [0 1] /Length ${prog.length} >>", prog))
+      case "type3" =>
+        onePage(s"<< /Length ${c.length} >>", c, resources = res,
+          extra = bld => bld.obj(5,
+            "<< /FunctionType 3 /Domain [0 1] /Functions [6 0 R 7 0 R] /Bounds [0.5] " +
+              "/Encode [0 1 0 1] >>")
+            .obj(6, "<< /FunctionType 2 /Domain [0 1] /C0 [0] /C1 [1] /N 1 >>")
+            .obj(7, "<< /FunctionType 2 /Domain [0 1] /C0 [1] /C1 [0] /N 1 >>"))
+      case _ =>
+        val prog = b("{ frobnicate }")
+        onePage(s"<< /Length ${c.length} >>", c, resources = res,
+          extra = bld => bld.stream(5,
+            s"<< /FunctionType 4 /Domain [0 1] /Range [0 1] /Length ${prog.length} >>", prog))
+    }
+  }
+
   /** Two-page document: per-page texts joined with "\n" at the doc level. */
   def twoPages(t1: String, t2: String): Array[Byte] = {
     val bld = new Builder()

@@ -21,8 +21,10 @@ final case class CsICCBased(n: Int, alternate: Option[PdfColorspace]) extends Pd
   val numComponents: Int = n
 }
 final case class CsIndexed(base: Option[PdfColorspace]) extends PdfColorspace { val numComponents = 1 }
-final case class CsSeparation(alternate: Option[PdfColorspace]) extends PdfColorspace { val numComponents = 1 }
-final case class CsDeviceN(n: Int, alternate: Option[PdfColorspace]) extends PdfColorspace {
+final case class CsSeparation(alternate: Option[PdfColorspace],
+                              tint: PdfFunction) extends PdfColorspace { val numComponents = 1 }
+final case class CsDeviceN(n: Int, alternate: Option[PdfColorspace],
+                           tint: PdfFunction) extends PdfColorspace {
   val numComponents: Int = n
 }
 
@@ -104,20 +106,63 @@ object PdfColorspace {
                 if (arr.length < 4) throw new PdfError("Indexed colorspace invalid")
                 CsIndexed(Some(fromObject(arr(1), resolve)))
               case "Separation" =>
-                if (arr.length < 3) throw new PdfError("Separation colorspace invalid")
-                CsSeparation(Some(fromObject(arr(2), resolve)))
+                // colorspace.go:2370-2426: exactly 4 entries; colorant name
+                // is NOT traced; the tint function loads (and validates) at
+                // colorspace-set time.
+                if (arr.length != 4) throw new PdfError("Separation CS: Incorrect array length")
+                arr(1) match {
+                  case PdfName(_) => ()
+                  case _          => throw new PdfError("Separation CS: Invalid colorant name")
+                }
+                val alt = fromObject(arr(2), resolve)
+                val tint = PdfFunction.fromObject(arr(3), resolve)
+                CsSeparation(Some(alt), tint)
               case "DeviceN" =>
-                if (arr.length < 3) throw new PdfError("DeviceN colorspace invalid")
+                // colorspace.go:2577-2643: 4 or 5 entries; names traced to an
+                // array; optional attributes dict validated.
+                if (arr.length != 4 && arr.length != 5)
+                  throw new PdfError("DeviceN CS: Incorrect array length")
                 val names = PdfObjs.traceToDirect(resolve(arr(1))) match {
                   case na: PdfArr => na.length
-                  case _          => throw new PdfError("DeviceN names invalid")
+                  case _          => throw new PdfError("DeviceN CS: Invalid names array")
                 }
-                CsDeviceN(names, Some(fromObject(arr(2), resolve)))
+                val alt = fromObject(arr(2), resolve)
+                val tint = PdfFunction.fromObject(arr(3), resolve)
+                if (arr.length == 5) validateDeviceNAttributes(arr(4), resolve)
+                CsDeviceN(names, Some(alt), tint)
               case other => throw new PdfError(s"Unknown colorspace ($other)")
             }
           case _ => throw new PdfError("Colorspace array first element not a name")
         }
       case _ => throw new PdfError("Unknown colorspace object")
+    }
+  }
+
+  /** newPdfColorspaceDeviceNAttributesFromPdfObject (colorspace.go:2757-2799):
+    * must be a dict (possibly indirect); Subtype, when present, must trace to
+    * a name.
+    */
+  private def validateDeviceNAttributes(obj0: PdfObj, resolve: PdfObj => PdfObj): Unit = {
+    val obj = obj0 match {
+      case r: PdfRef => resolve(r)
+      case o         => o
+    }
+    val dict = obj match {
+      case io: PdfIndirect =>
+        io.obj match {
+          case d: PdfDict => d
+          case _          => throw new PdfError("Type error")
+        }
+      case d: PdfDict => d
+      case _          => throw new PdfError("Type error")
+    }
+    dict.get("Subtype") match {
+      case null => ()
+      case s =>
+        PdfObjs.traceToDirect(resolve(s)) match {
+          case PdfName(_) => ()
+          case _          => throw new PdfError("Type error")
+        }
     }
   }
 }

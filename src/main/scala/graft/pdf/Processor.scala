@@ -164,54 +164,70 @@ final class ContentProcessor(operations: Seq[ContentOp]) {
   }
 
   /** ColorFromPdfObjects per family (pdf/model/colorspace.go): numeric
-    * params; [0,1] range checks for device/cal spaces; pattern takes a
-    * trailing name. Separation/DeviceN tint transforms are not evaluated
-    * (numeric acceptance only) — a documented fidelity trim.
+    * params converted to floats, then the family's ColorFromFloats. Pattern
+    * takes a trailing name.
     */
   private def colorFromObjects(cs: PdfColorspace, params: Seq[PdfObj]): AnyRef = cs match {
-    case CsDeviceGray | CsCalGray =>
-      if (params.length != 1) throw new PdfError("Range check")
-      val v = num(params.head)
-      if (v < 0.0 || v > 1.0) throw new PdfError("Range check")
-      Array(v)
-    case CsDeviceRGB | CsCalRGB =>
-      if (params.length != 3) throw new PdfError("Range check")
-      val vs = params.map(num)
-      if (vs.exists(v => v < 0.0 || v > 1.0)) throw new PdfError("Range check")
-      vs.toArray
-    case CsDeviceCMYK =>
-      if (params.length != 4) throw new PdfError("Range check")
-      val vs = params.map(num)
-      if (vs.exists(v => v < 0.0 || v > 1.0)) throw new PdfError("Range check")
-      vs.toArray
-    case _: CsLab =>
-      if (params.length != 3) throw new PdfError("Range check")
-      params.map(num).toArray
-    case icc: CsICCBased =>
-      icc.alternate match {
-        case Some(alt) => colorFromObjects(alt, params)
-        case None =>
-          icc.n match {
-            case 1 => colorFromObjects(CsDeviceGray, params)
-            case 3 => colorFromObjects(CsDeviceRGB, params)
-            case 4 => colorFromObjects(CsDeviceCMYK, params)
-            case _ => throw new PdfError("ICC Based colorspace missing alternative")
-          }
-      }
-    case _: CsIndexed =>
-      if (params.length != 1) throw new PdfError("Range check")
-      Array(num(params.head))
-    case _: CsSeparation =>
-      if (params.length != 1) throw new PdfError("Range check")
-      Array(num(params.head))
-    case dn: CsDeviceN =>
-      if (params.length != dn.numComponents) throw new PdfError("Range check")
-      params.map(num).toArray
     case CsPattern =>
       if (params.length < 1) throw new PdfError("Invalid number of parameters")
       params.last match {
         case PdfName(n) => n
         case _          => throw new PdfError("Type check error")
       }
+    case _ => colorFromFloats(cs, params.map(num).toArray)
+  }
+
+  /** ColorFromFloats per family (pdf/model/colorspace.go): [0,1] range
+    * checks for device/cal spaces; Separation/DeviceN EVALUATE their tint
+    * transform and pass the outputs to the alternate space's check —
+    * evaluation errors (bad PS program, unsupported Type-3 stitching,
+    * out-of-range outputs in the alternate space) abort processing exactly
+    * like the reference (colorspace.go:2445-2467, 2666-2681).
+    */
+  private def colorFromFloats(cs: PdfColorspace, vals: Array[Double]): AnyRef = cs match {
+    case CsDeviceGray | CsCalGray =>
+      if (vals.length != 1) throw new PdfError("Range check")
+      if (vals(0) < 0.0 || vals(0) > 1.0) throw new PdfError("Range check")
+      vals
+    case CsDeviceRGB | CsCalRGB =>
+      if (vals.length != 3) throw new PdfError("Range check")
+      if (vals.exists(v => v < 0.0 || v > 1.0)) throw new PdfError("Range check")
+      vals
+    case CsDeviceCMYK =>
+      if (vals.length != 4) throw new PdfError("Range check")
+      if (vals.exists(v => v < 0.0 || v > 1.0)) throw new PdfError("Range check")
+      vals
+    case _: CsLab =>
+      if (vals.length != 3) throw new PdfError("Range check")
+      vals
+    case icc: CsICCBased =>
+      icc.alternate match {
+        case Some(alt) => colorFromFloats(alt, vals)
+        case None =>
+          icc.n match {
+            case 1 => colorFromFloats(CsDeviceGray, vals)
+            case 3 => colorFromFloats(CsDeviceRGB, vals)
+            case 4 => colorFromFloats(CsDeviceCMYK, vals)
+            case _ => throw new PdfError("ICC Based colorspace missing alternative")
+          }
+      }
+    case _: CsIndexed =>
+      if (vals.length != 1) throw new PdfError("Range check")
+      vals
+    case sep: CsSeparation =>
+      if (vals.length != 1) throw new PdfError("Range check")
+      val output = sep.tint.evaluate(vals)
+      sep.alternate match {
+        case Some(alt) => colorFromFloats(alt, output)
+        case None      => throw new PdfError("Alternate space not specified")
+      }
+    case dn: CsDeviceN =>
+      if (vals.length != dn.numComponents) throw new PdfError("Range check")
+      val output = dn.tint.evaluate(vals)
+      dn.alternate match {
+        case Some(alt) => colorFromFloats(alt, output)
+        case None      => throw new PdfError("Alternate space not specified")
+      }
+    case CsPattern => throw new PdfError("Type check error")
   }
 }

@@ -24,7 +24,7 @@ object PagesGen {
     * oracle checks, so ALL the families below (incl. crypt, CMap, repairs,
     * LZW/RLE, inline images) carry hard end-to-end evidence.
     */
-  val PdfVariants = 11
+  val PdfVariants = 12
 
   /** Deterministic payload for one document. */
   def payloadFor(docId: Long, text: String, variant: Int): Array[Byte] = variant match {
@@ -39,6 +39,7 @@ object PagesGen {
     case 8  => PdfFixtures.sLzw(text)                   // LZWDecode content
     case 9  => PdfFixtures.sRle(text)                   // RunLengthDecode content
     case 10 => PdfFixtures.s15(text)                    // inline image (BI/ID/EI) + text
+    case 11 => PdfFixtures.sSeparation(text)            // Separation + Type-4 PS tint
     case _  => PdfFixtures.htmlSimple(text)             // HTML branch
   }
 
