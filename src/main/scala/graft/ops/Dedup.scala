@@ -273,16 +273,17 @@ object Dedup {
     * cost one candidate row; id pairs are expanded from the value groups at
     * the end. Returns (a, b, hamming) with a < b.
     */
-  def simhashDupPairs(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text", maxDist: Int = 3): DataFrame = {
-    val withSh = withSimhash(docs.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol).as("id"), col("simhash"))
-    val values = withSh.select(col("simhash").as("sh")).distinct()
+  /** Value-level near-dup pairs: input is a DataFrame with one `sh` (Long)
+    * column of DISTINCT simhash values; output (sa, sb, hamming<=maxDist).
+    * Exact by the pigeonhole property; work scales with distinct values *
+    * C(maxDist+3, 3), never with document counts or group sizes.
+    */
+  def simhashValuePairs(values: DataFrame, maxDist: Int = 3): DataFrame = {
     val combos = simhashCombos(maxDist)
     val keyed = values.select(col("sh"), explode(array(combos.zipWithIndex.map {
       case (combo, ci) => struct(lit(ci).as("combo"), comboKeyCol(col("sh"), combo).as("key"))
     }: _*)).as("ck")).select(col("sh"), col("ck.combo"), col("ck.key"))
-    val valuePairs = keyed.as("l")
+    keyed.as("l")
       .join(keyed.as("r"),
         col("l.combo") === col("r.combo") && col("l.key") === col("r.key") &&
           col("l.sh") < col("r.sh"))
@@ -290,6 +291,14 @@ object Dedup {
       .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxDist)
+  }
+
+  def simhashDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", maxDist: Int = 3): DataFrame = {
+    val withSh = withSimhash(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val valuePairs =
+      simhashValuePairs(withSh.select(col("simhash").as("sh")).distinct(), maxDist)
     // Expand value pairs to id pairs + intra-value (hamming 0) pairs.
     val m = withSh
     val cross = valuePairs

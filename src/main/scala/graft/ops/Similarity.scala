@@ -116,16 +116,35 @@ object Similarity {
     math.max(2, math.min(MaxSignatureBits, b))
   }
 
-  /** Approximate top-k: probe the query's bucket and all hamming-1 buckets.
-    * Recall improves with probes; candidates stay ~corpus * (bits+1) / 2^bits.
+  /** All bucket signatures within hamming `radius` of `sig` (multi-probe
+    * set): 1 + bits + C(bits,2) + ... buckets. Radius 2 recovers ~99% of
+    * near-neighbours whose signatures drift by <= 2 planes while still
+    * probing only ~(1 + b + b^2/2) / 2^b of the corpus.
+    */
+  def probeSet(sig: Long, bits: Int, radius: Int): Seq[Long] = {
+    var cur = Set(sig)
+    var all = Set(sig)
+    var r = 0
+    while (r < radius) {
+      cur = cur.flatMap(s => (0 until bits).map(b => s ^ (1L << b)))
+      all ++= cur
+      r += 1
+    }
+    all.toSeq.sorted
+  }
+
+  /** Approximate top-k: probe the query's bucket and all buckets within
+    * hamming `probeRadius`. Recall improves with probes; candidates stay
+    * ~corpus * |probes| / 2^bits.
     */
   def lshTopK(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long],
               k: Int = 10, idCol: String = "vec_id",
               embCol: String = "embedding",
-              bits: Int = DefaultSignatureBits): DataFrame = {
+              bits: Int = DefaultSignatureBits,
+              probeRadius: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = withLshBucket(embeddings, embCol, bits)
-    val probesUdf = udf((sig: Long) => (0 until bits).map(b => sig ^ (1L << b)) :+ sig)
+    val probesUdf = udf((sig: Long) => probeSet(sig, bits, probeRadius))
     val queries = broadcast(
       bucketed.filter(col(idCol).isInCollection(queryIds))
         .select(col(idCol).as("query_id"), col(embCol).as("qe"), col("lsh_bucket").as("qb"))

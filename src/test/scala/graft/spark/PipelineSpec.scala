@@ -82,6 +82,13 @@ class PipelineSpec extends AnyFunSuite {
     // Lineage table covers both runs.
     val lineage = TableIO.readLineage(spark, whKill).get
     assert(lineage.agg(sum("input_rows")).head().getLong(0) == 200)
+
+    // Resuming with a DIFFERENT bucket count must fail fast: it would
+    // silently remap url->bucket and duplicate/miss documents.
+    val e = intercept[IllegalArgumentException] {
+      TableIO.runResumable(spark, pages, whKill, "wrong-buckets", numBuckets = 16)
+    }
+    assert(e.getMessage.contains("numBuckets"))
   }
 
   test("extraction plan: single shuffle (repartition), kernel in one mapPartitions") {
@@ -91,6 +98,13 @@ class PipelineSpec extends AnyFunSuite {
     // exactly one exchange below the kernel (the url repartition)
     assert(plan.contains("Exchange"))
     assert(plan.contains("SerializeFromObject")) // typed kernel present
+  }
+
+  test("extraction plan DEFAULT: no pre-kernel shuffle (scan partitions feed the kernel)") {
+    val pages = PagesGen.smokeTable(spark)
+    val ds = Pipeline.extract(spark, pages, "plan-default") // numPartitions = -1
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"default path must not shuffle payloads:\n$plan")
   }
 
   test("extract_text Catalyst expression via SQL") {
