@@ -136,10 +136,13 @@ object Dedup {
     * row); verified representative pairs are expanded back to member ids,
     * and intra-group pairs (identical signature) are verified directly.
     */
-  def minhashDupPairs(spark: SparkSession, docs: DataFrame,
-                      idCol: String = "doc_id", textCol: String = "text",
-                      threshold: Double = 0.7,
-                      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+  /** LSH candidate id pairs (a < b), unverified: collapse identical
+    * signatures to representatives, band-join reps (bucket-capped), expand
+    * back to member pairs + intra-group pairs.
+    */
+  def minhashCandidatePairs(docs: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     val withSig = withMinhash(base, "t")
       .filter(size(col("mh_sig")) > 0) // zero-shingle docs: exact path instead
@@ -170,11 +173,19 @@ object Dedup {
     val intra = multi.as("l")
       .join(multi.as("r"), col("l.sk") === col("r.sk") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
+    cross.unionByName(intra).distinct()
+  }
+
+  def minhashDupPairs(spark: SparkSession, docs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      threshold: Double = 0.7,
+                      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val candidates = minhashCandidatePairs(docs, idCol, textCol, maxBandBucket)
     // Verify EVERY candidate pair on its own text (exact integer counts per
     // pair — the oracle-comparable values; O(output) udf calls).
-    val texts = base.select(col("id").as("tid"), col("t").as("ttext"))
+    val texts = docs.select(col(idCol).as("tid"), col(textCol).as("ttext"))
     val cntUdf = udf((x: String, y: String) => jaccardCounts(x, y))
-    cross.unionByName(intra).distinct()
+    candidates
       .join(texts.withColumnRenamed("tid", "a").withColumnRenamed("ttext", "ta"), "a")
       .join(texts.withColumnRenamed("tid", "b").withColumnRenamed("ttext", "tb"), "b")
       .withColumn("c", cntUdf(col("ta"), col("tb")))
@@ -345,8 +356,7 @@ object Dedup {
     // LSH pre-filter via minhash bands (word shingles approximate char
     // overlap well enough for candidate generation), then exact char-ngram
     // verification.
-    val candidates = minhashDupPairs(docs.sparkSession, docs, idCol, textCol,
-      threshold = 0.0).select("a", "b")
+    val candidates = minhashCandidatePairs(docs, idCol, textCol)
     val texts = docs.select(col(idCol).as("tid"), col(textCol).as("ttext"))
     val jac = udf((x: String, y: String) => {
       val sa = charNgrams(x, n); val sb = charNgrams(y, n)

@@ -66,38 +66,73 @@ object StreamingOps {
 
   /** Custom sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState (KeyValueGroupedDataset custom state).
+    *
+    * With `flushOpenOnTimeout` (the production default) the state uses
+    * ProcessingTimeTimeout so an idle user's OPEN session is flushed after
+    * the gap elapses on a continuously-running stream — with NoTimeout it
+    * would be held forever. NB under Trigger.AvailableNow a registered
+    * processing-time timer delays query termination until it fires, so
+    * drain-style batch verification jobs pass `flushOpenOnTimeout = false`
+    * (open sessions intentionally stay buffered, as before).
     */
   def sessionize(spark: SparkSession, inputDir: String, checkpointDir: String,
-                 outDir: String, gapMs: Long = 30 * 60 * 1000L): Unit = {
+                 outDir: String, gapMs: Long = 30 * 60 * 1000L,
+                 flushOpenOnTimeout: Boolean = false): Unit =
+    sessionizeQuery(spark, inputDir, checkpointDir, outDir, gapMs,
+      flushOpenOnTimeout, Trigger.AvailableNow()).awaitTermination()
+
+  /** Non-blocking variant returning the running query (continuous jobs pass
+    * Trigger.ProcessingTime + flushOpenOnTimeout = true and manage the query
+    * handle themselves). NB a registered processing-time timer prevents an
+    * AvailableNow query from terminating, so the drain-style `sessionize`
+    * defaults to flushOpenOnTimeout = false.
+    */
+  def sessionizeQuery(spark: SparkSession, inputDir: String, checkpointDir: String,
+                      outDir: String, gapMs: Long,
+                      flushOpenOnTimeout: Boolean,
+                      trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
       .select(col("user_id"), col("ts"))
       .as[(Long, Timestamp)]
+    val timeoutConf =
+      if (flushOpenOnTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val sessions = stream
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2.getTime).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          for (t <- sorted) {
-            if (st.start < 0) st = SessionState(t, t, 1)
-            else if (t - st.last > gapMs) {
-              out += SessionOut(userId, new Timestamp(st.start), st.events, st.last - st.start)
-              st = SessionState(t, t, 1)
-            } else st = st.copy(last = t, events = st.events + 1)
+          if (state.hasTimedOut) {
+            // Inactivity gap elapsed in wall-clock: emit the open session.
+            val st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L))
+            state.remove()
+            if (st.start >= 0)
+              Iterator.single(SessionOut(userId, new Timestamp(st.start), st.events,
+                st.last - st.start))
+            else Iterator.empty
+          } else {
+            val sorted = rows.map(_._2.getTime).toSeq.sorted
+            var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            for (t <- sorted) {
+              if (st.start < 0) st = SessionState(t, t, 1)
+              else if (t - st.last > gapMs) {
+                out += SessionOut(userId, new Timestamp(st.start), st.events, st.last - st.start)
+                st = SessionState(t, t, 1)
+              } else st = st.copy(last = t, events = st.events + 1)
+            }
+            state.update(st)
+            if (flushOpenOnTimeout) state.setTimeoutDuration(gapMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
-    val q = sessions.writeStream
+    sessions.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .format("parquet")
       .option("path", outDir)
       .start()
-    q.awaitTermination()
   }
 }

@@ -59,11 +59,42 @@ class StreamingSpec extends AnyFunSuite {
     }
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(in)
+    // Drain mode (the default): a registered processing-time timer would
+    // prevent AvailableNow termination.
     StreamingOps.sessionize(spark, in, cp, out)
     val sessions = spark.read.parquet(out).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
     // Completed (closed) sessions only: user 1's FIRST session (3 events) is
     // closed by the 30min gap; the trailing sessions stay in state.
     assert(sessions.contains((1L, 3L)))
+  }
+
+  test("sessionization flushes idle OPEN sessions via ProcessingTimeTimeout") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-flush").toString
+    val (in, cp, out) = (s"$dir/in", s"$dir/cp", s"$dir/out")
+    val base = 1767225600000L
+    Seq((1L, new Timestamp(base), 9L, "e", 0.0, "{}"),
+      (2L, new Timestamp(base + 1000L), 9L, "e", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(in)
+    // CONTINUOUS mode (ProcessingTime trigger + flushOpenOnTimeout): the
+    // open session's 2s inactivity timer fires and the session is EMITTED —
+    // the behavior NoTimeout could never deliver on a real stream.
+    val q = StreamingOps.sessionizeQuery(spark, in, cp, out, gapMs = 2000L,
+      flushOpenOnTimeout = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      var sessions = Array.empty[(Long, Long)]
+      val deadline = System.currentTimeMillis() + 60000L
+      while (!sessions.contains((9L, 2L)) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000)
+        sessions =
+          try spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(2)))
+          catch { case _: Exception => Array.empty } // output dir not created yet
+      }
+      assert(sessions.contains((9L, 2L)), s"open session not flushed: ${sessions.toSeq}")
+    } finally q.stop()
   }
 }
