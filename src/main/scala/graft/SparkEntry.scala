@@ -215,6 +215,31 @@ object SparkEntry {
       TextOps.withFingerprint(s.read.parquet(s"$dir/documents.parquet"))
         .select("doc_id", "fp64").orderBy("doc_id")
     }),
+    "x27_bpe_tokens" -> ((s, dir) => {
+      // BPE-style pre-tokenizer counts via codegen'd regexp_extract_all;
+      // DuckDB runs the identical RE2/Java-compatible pattern.
+      TextOps.withBpeTokenCount(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_bpe_tokens").cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+    "x28_winnow" -> ((s, dir) => {
+      // Winnowing fingerprints (k=8 grams, w=4 windows): integer summary
+      // columns (count + xor) compare bit-for-bit against the SQL oracle.
+      TextOps.withWinnowing(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "n_fps", "fp_xor").orderBy("doc_id")
+    }),
+    "x29_ann_ivf" -> ((s, dir) => {
+      // IVF ANN (k-means coarse quantizer + probed-cell scan) — the
+      // data-adaptive scale path next to the LSH one. KMeans is not
+      // SQL-mirrorable -> rows-only driver check; recall is pinned by
+      // ScaleSpec against brute force.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val qids = emb.select("vec_id").orderBy("vec_id").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      Similarity.ivfTopK(s, emb, qids, k = 10, nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "x25_minhash_pairs" -> ((s, dir) => {
       // Verified near-dup pairs with INTEGER shingle intersection/union
       // counts; the DuckDB oracle computes exact all-pairs Jaccard (feasible
@@ -399,6 +424,18 @@ object SparkEntry {
         s"h AS (SELECT doc_id, CASE WHEN norm = '' THEN CAST(14695981039346656037 AS HUGEINT) " +
         s"ELSE ${fnvSql("norm")} END AS hu FROM n) " +
         s"SELECT doc_id, ${toSignedSql("hu")} AS fp64 FROM h ORDER BY doc_id"),
+    "x27_bpe_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(lower(text), " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+', 0)) AS BIGINT) " +
+        "AS n_bpe_tokens FROM documents ORDER BY doc_id"),
+    "x28_winnow" ->
+      ("WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text), ' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12)), " +
+        "'[ \\t\\r\\n\\x0B\\f]+', ' ', 'g') AS nm FROM documents), " +
+        s"h AS (SELECT doc_id, list_transform(range(1, length(nm) - 6), i -> ${toSignedSql(fnvSql("substring(nm, CAST(i AS INT), 8)"))}) AS hs FROM n), " +
+        "sel AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])))) AS fps FROM h) " +
+        "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, " +
+        toSignedSql("(CAST(list_reduce(list_transform(fps, f -> CAST(CASE WHEN f < 0 THEN f + 18446744073709551616 ELSE f END AS HUGEINT)), (a,b) -> xor(a,b)) AS HUGEINT))") +
+        " AS fp_xor FROM sel ORDER BY doc_id"),
     "x20_multimodal_decode" ->
       // The decode stub is a DECLARED deterministic fake (Multimodal.scala):
       // width/height/bytes are pure doc_id arithmetic, mirrored here.

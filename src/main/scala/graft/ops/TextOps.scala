@@ -21,6 +21,19 @@ object TextOps {
   def withTokenCount(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("n_tokens", tokenCountCol(col(textCol)))
 
+  /** BPE-style pre-tokenizer regex (GPT-2 shape, simplified to the subset
+    * where Java regex and RE2 agree — no lookaheads): contractions, then
+    * space-prefixed letter runs / digit runs / punctuation runs, then
+    * whitespace runs. Counted via codegen'd regexp_extract_all (no UDF);
+    * the DuckDB oracle runs the IDENTICAL pattern.
+    */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+  def withBpeTokenCount(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_bpe_tokens",
+      size(regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0))))
+
   /** Quality-score columns: length, words, punctuation count, digit count,
     * uppercase ratio proxy, mean word length. Integer-valued where the
     * DuckDB oracle compares exactly.
@@ -118,5 +131,51 @@ object TextOps {
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val f = udf((s: String) => fingerprint64(s))
     df.withColumn("fp64", f(col(textCol)))
+  }
+
+  // ------------------------------------------------------------- winnowing
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * FNV-1a hashes of the k-char grams of the normalized lowercased text,
+    * then the MINIMUM hash (signed compare) of each w-hash window; the
+    * fingerprint set is the distinct selected values, sorted. Guarantees a
+    * shared fingerprint for any shared substring of length >= k + w - 1 —
+    * the standard partial-overlap dedup primitive. DuckDB-mirrorable
+    * (substring FNV + list window mins), so oracle-checkable.
+    */
+  def winnowFingerprints(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    val norm = normalizeWs(if (text == null) "" else text.toLowerCase)
+    if (norm.isEmpty) return Array.empty
+    if (norm.length < k) return Array(fnv1a64(norm))
+    val n = norm.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = fnv1a64(norm.substring(i, i + k)); i += 1 }
+    if (n <= w) return Array(hs.min)
+    val sel = scala.collection.mutable.SortedSet.empty[Long]
+    i = 0
+    while (i + w <= n) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      sel += m
+      i += 1
+    }
+    sel.toArray
+  }
+
+  /** (n_fps, fp_xor) summary columns — order-free integer aggregates of the
+    * fingerprint set, comparable bit-for-bit against the SQL oracle.
+    */
+  def withWinnowing(df: DataFrame, textCol: String = "text",
+                    k: Int = 8, w: Int = 4): DataFrame = {
+    val f = udf((s: String) => {
+      val fps = winnowFingerprints(s, k, w)
+      (fps.length.toLong, fps.foldLeft(0L)(_ ^ _))
+    })
+    df.withColumn("__w", f(col(textCol)))
+      .withColumn("n_fps", col("__w._1"))
+      .withColumn("fp_xor", col("__w._2"))
+      .drop("__w")
   }
 }

@@ -102,6 +102,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(full))
   }
 
+  test("IVF ANN recall@10 >= 0.9 vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    val dims = 32
+    val centers = Array.fill(50, dims)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 10000).map { i =>
+      val c = centers(i / 200)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartition(16).cache()
+    val queries = Seq(0L, 5000L, 9999L)
+    val brute = Similarity.bruteForceTopK(spark, emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ivf = Similarity.ivfTopK(spark, emb, queries, k = 10, nLists = 50, nProbe = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = queries.map { q =>
+      val b = brute.getOrElse(q, Set.empty)
+      b.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / math.max(1, b.size)
+    }
+    assert(recalls.sum / recalls.size >= 0.9, s"IVF recall: $recalls")
+    emb.unpersist()
+  }
+
+  test("winnowing fingerprints: shared substrings >= k+w-1 chars share a fingerprint") {
+    val a = "completely different prefix THE COMMON SHARED SEGMENT HERE and tail one"
+    val b = "another unrelated beginning THE COMMON SHARED SEGMENT HERE plus other end"
+    val fa = TextOps.winnowFingerprints(a).toSet
+    val fb = TextOps.winnowFingerprints(b).toSet
+    assert(fa.intersect(fb).nonEmpty, "shared 27-char substring must share a fingerprint")
+    val c = "no overlap with those texts whatsoever in any grams at all ok"
+    assert(TextOps.winnowFingerprints(c).toSet.intersect(fa).isEmpty)
+    // whitespace-normalization invariance
+    assert(TextOps.winnowFingerprints("a  b\tc d e f g h i j").toSeq ==
+      TextOps.winnowFingerprints("a b c d e f g h i j").toSeq)
+    // short/empty docs
+    assert(TextOps.winnowFingerprints("").isEmpty)
+    assert(TextOps.winnowFingerprints("tiny").length == 1)
+  }
+
   test("embedding near-dup refinement splits crowded buckets, keeps true dups") {
     import spark.implicits._
     val rnd = new java.util.Random(3)
