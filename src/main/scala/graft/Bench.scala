@@ -134,7 +134,8 @@ object Bench {
     // Headline relational / ops queries (same set the driver verifies).
     val headline = Seq("q01_lineitem_agg", "q02_top_orders", "q04_latest_event",
       "q05_token_count", "q06_exact_dedup", "q09_ann_topk", "x16_minhash_groups",
-      "x17_simhash", "x14_ann_lsh", "x20_multimodal_decode")
+      "x17_simhash", "x14_ann_lsh", "x20_multimodal_decode", "x25_minhash_pairs",
+      "x27_bpe_tokens", "x28_winnow", "x29_ann_ivf")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     for (name <- headline; fn <- SparkEntry.queries.get(name)) {
       var ok = true

@@ -132,4 +132,51 @@ object PdfEncrypt {
   }
 
   def hex(bytes: Array[Byte]): String = bytes.map(b => f"${b & 0xff}%02x").mkString
+
+  // ------------------------------------------------------------- R6 (AESV3)
+
+  /** R6 credential material for one password set: (U, UE, O, OE, Perms).
+    * Forward direction of algorithms 8/9/10 (ISO 32000-2), built on the
+    * kernel's alg2bR6 hash so authenticate() accepts it:
+    *  - U  = alg2b(upass + vsalt)(32) ++ vsalt(8) ++ ksalt(8)
+    *  - UE = AES-256-CBC-NoPad(key = alg2b(upass + ksalt), iv 0, fileKey)
+    *  - O  = alg2b(opass + vsalt' + U)(32) ++ vsalt'(8) ++ ksalt'(8)
+    *  - OE = AES-256-CBC-NoPad(key = alg2b(opass + ksalt' + U), iv 0, fileKey)
+    *  - Perms = AES-256-ECB(fileKey, [P LE32 | ff*4 | 'T'/'F' | adb | seed])
+    */
+  def r6Credentials(upass: Array[Byte], opass: Array[Byte], fileKey: Array[Byte],
+                    p: Int, encryptMetadata: Boolean,
+                    saltSeed: Array[Byte]): (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    import graft.pdf.PdfCrypt.alg2bR6
+    require(fileKey.length == 32)
+    def aesNoPad(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+    val salts = MessageDigest.getInstance("SHA-256").digest(saltSeed) // 32 deterministic bytes
+    val uv = java.util.Arrays.copyOfRange(salts, 0, 8)   // user validation salt
+    val uk = java.util.Arrays.copyOfRange(salts, 8, 16)  // user key salt
+    val ov = java.util.Arrays.copyOfRange(salts, 16, 24) // owner validation salt
+    val ok = java.util.Arrays.copyOfRange(salts, 24, 32) // owner key salt
+    val uHash = java.util.Arrays.copyOf(alg2bR6(upass ++ uv, upass, Array.emptyByteArray), 32)
+    val u = uHash ++ uv ++ uk // 48 bytes
+    val ue = aesNoPad(java.util.Arrays.copyOf(alg2bR6(upass ++ uk, upass, Array.emptyByteArray), 32),
+      new Array[Byte](16), fileKey)
+    val oHash = java.util.Arrays.copyOf(alg2bR6(opass ++ ov ++ u, opass, u), 32)
+    val o = oHash ++ ov ++ ok // 48 bytes
+    val oe = aesNoPad(java.util.Arrays.copyOf(alg2bR6(opass ++ ok ++ u, opass, u), 32),
+      new Array[Byte](16), fileKey)
+    val perms = new Array[Byte](16)
+    var i = 0
+    while (i < 4) { perms(i) = ((p >> (8 * i)) & 0xff).toByte; i += 1 }
+    perms(4) = 0xff.toByte; perms(5) = 0xff.toByte; perms(6) = 0xff.toByte; perms(7) = 0xff.toByte
+    perms(8) = (if (encryptMetadata) 'T' else 'F').toByte
+    perms(9) = 'a'; perms(10) = 'd'; perms(11) = 'b'
+    System.arraycopy(salts, 0, perms, 12, 4) // random-ish tail
+    val ecb = Cipher.getInstance("AES/ECB/NoPadding")
+    ecb.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(fileKey, "AES"))
+    val permsEnc = ecb.doFinal(perms)
+    (u, ue, o, oe, permsEnc)
+  }
 }

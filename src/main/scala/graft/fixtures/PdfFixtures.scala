@@ -481,6 +481,42 @@ object PdfFixtures {
     }
   }
 
+  /** Encrypted one-page doc, AESV3 V5/R6 (256-bit, the modern handler):
+    * exercises algorithms 2.A/2.B/11/13 + AESV3 stream decryption through
+    * the driver's byte-identity oracle. Empty user password.
+    */
+  def sEncryptedR6(text: String, docId: Long): Array[Byte] = {
+    import PdfEncrypt._
+    val content = contentFor(text)
+    val p = -1
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val fileKey = md.digest(s"graft-key-$docId".getBytes(ISO_8859_1))
+    val id0 = java.util.Arrays.copyOf(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-id6-$docId".getBytes(ISO_8859_1)), 16)
+    val (u, ue, o, oe, permsEnc) = r6Credentials(
+      upass = Array.emptyByteArray, opass = "graft-owner".getBytes(ISO_8859_1),
+      fileKey = fileKey, p = p, encryptMetadata = true,
+      saltSeed = s"graft-salt-$docId".getBytes(ISO_8859_1))
+    val iv = java.util.Arrays.copyOf(java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-iv6-$docId".getBytes(ISO_8859_1)), 16)
+    val encContent = aesEncrypt(fileKey, iv, content) // AESV3: object key == file key
+    val encDict =
+      s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $p " +
+        s"/O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}> " +
+        s"/Perms <${hex(permsEnc)}> " +
+        "/CF << /StdCF << /Type /CryptFilter /CFM /AESV3 /Length 32 >> >> " +
+        "/StmF /StdCF /StrF /StdCF >>"
+    val bld = new Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${encContent.length} >>", encContent)
+    bld.obj(5, encDict)
+    bld.trailerExtra = s"/Encrypt 5 0 R /ID [<${hex(id0)}> <${hex(id0)}>]"
+    bld.build()
+  }
+
   /** Two-page document: per-page texts joined with "\n" at the doc level. */
   def twoPages(t1: String, t2: String): Array[Byte] = {
     val bld = new Builder()

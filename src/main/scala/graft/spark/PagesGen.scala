@@ -24,7 +24,7 @@ object PagesGen {
     * oracle checks, so ALL the families below (incl. crypt, CMap, repairs,
     * LZW/RLE, inline images) carry hard end-to-end evidence.
     */
-  val PdfVariants = 12
+  val PdfVariants = 13
 
   /** Deterministic payload for one document. */
   def payloadFor(docId: Long, text: String, variant: Int): Array[Byte] = variant match {
@@ -40,6 +40,7 @@ object PagesGen {
     case 9  => PdfFixtures.sRle(text)                   // RunLengthDecode content
     case 10 => PdfFixtures.s15(text)                    // inline image (BI/ID/EI) + text
     case 11 => PdfFixtures.sSeparation(text)            // Separation + Type-4 PS tint
+    case 12 => PdfFixtures.sEncryptedR6(text, docId)    // AESV3 V5/R6 crypt
     case _  => PdfFixtures.htmlSimple(text)             // HTML branch
   }
 
