@@ -187,6 +187,25 @@ class PsSpec extends AnyFunSuite {
       Seq(0xA, 0xB, 0xC))
   }
 
+  test("Type 0 with TWO inputs: sample-table index arithmetic") {
+    // 2x2 grid of 8-bit samples (row-major over the FIRST input fastest,
+    // functions.go:333-340: m = i0 + i1*Size[0]):
+    //   (0,0)->10, (1,0)->20, (0,1)->30, (1,1)->40
+    val raw = Array[Byte](10, 20, 30, 40)
+    val st = new PdfStream(9, 0, PdfDict(
+      "FunctionType" -> PdfInt(0),
+      "Domain" -> PdfArr(PdfInt(0), PdfInt(1), PdfInt(0), PdfInt(1)),
+      "Range" -> PdfArr(PdfInt(0), PdfInt(1)),
+      "Size" -> PdfArr(PdfInt(2), PdfInt(2)),
+      "BitsPerSample" -> PdfInt(8), "Length" -> PdfInt(raw.length)), raw)
+    val f = PdfFunction.fromObject(st, identity)
+    def v(x0: Double, x1: Double): Double = f.evaluate(Array(x0, x1))(0) * 256.0
+    assert(math.abs(v(0, 0) - 10) < 1e-9)
+    assert(math.abs(v(1, 0) - 20) < 1e-9)
+    assert(math.abs(v(0, 1) - 30) < 1e-9)
+    assert(math.abs(v(1, 1) - 40) < 1e-9)
+  }
+
   test("Separation scn with succeeding Type-4 tint -> full text") {
     val r = Extract(PdfFixtures.sSeparation("tinted text extracted"))
     assert(r.status == "ok", r.error)
