@@ -56,6 +56,29 @@ object SparkEntry {
         (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, r.text)
       }.toDF("doc_id", "extracted").orderBy("doc_id")
     }),
+    "x30_extract_multipage" -> ((s, dir) => {
+      import s.implicits._
+      // TWO-page docs: page 2 has NO resources anywhere (raw Tj without Tf);
+      // doc text = page1 + "\n" + page2 (the page-glue contract). Exercises
+      // buildPageList/Kids + the no-codemap raw-bytes path through the gate.
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val r = Extract(graft.fixtures.PdfFixtures.twoPages(text, s"p2 of $id"))
+          (id, r.text)
+        }.toDF("doc_id", "extracted").orderBy("doc_id")
+    }),
+    "x31_extract_contents_array" -> ((s, dir) => {
+      import s.implicits._
+      // /Contents as an ARRAY of two streams -> joined with " " at the page
+      // level (allContentStreams glue).
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val r = Extract(graft.fixtures.PdfFixtures.s09(text, s"part2 of $id"))
+          (id, r.text)
+        }.toDF("doc_id", "extracted").orderBy("doc_id")
+    }),
     "x22_match_rate" -> ((s, dir) => {
       // THE north-rule metric made explicit: byte-identical match rate of
       // extracted text vs the source text (must be 1.0 == n_total).
@@ -337,6 +360,14 @@ object SparkEntry {
       "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
     "x22_match_rate" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_match, CAST(count(*) AS BIGINT) AS n_total FROM documents",
+    "x30_extract_multipage" ->
+      ("SELECT doc_id, text || chr(10) || 'p2 of ' || CAST(doc_id AS VARCHAR) AS extracted " +
+        "FROM documents ORDER BY doc_id"),
+    // NB no separator: the " " glue joins stream BYTES ("...Tj ET BT...");
+    // no text op emits it (DocumentSpec s09 pins this reference quirk).
+    "x31_extract_contents_array" ->
+      ("SELECT doc_id, text || 'part2 of ' || CAST(doc_id AS VARCHAR) AS extracted " +
+        "FROM documents ORDER BY doc_id"),
     "x23_extract_boilerplate" ->
       ("SELECT doc_id, CASE WHEN norm = '' THEN 'Doc ' || CAST(doc_id AS VARCHAR) " +
         "ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || norm END AS extracted FROM " +
