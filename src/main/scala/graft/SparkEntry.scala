@@ -79,6 +79,16 @@ object SparkEntry {
           (id, r.text)
         }.toDF("doc_id", "extracted").orderBy("doc_id")
     }),
+    "x32_extract_html_entities" -> ((s, dir) => {
+      import s.implicits._
+      // Entity-encoded pages (named + numeric dec/hex refs) must decode back
+      // to the whitespace-normalized source text.
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          (id, Extract(graft.fixtures.PdfFixtures.htmlEntities(text)).text)
+        }.toDF("doc_id", "extracted").orderBy("doc_id")
+    }),
     "x22_match_rate" -> ((s, dir) => {
       // THE north-rule metric made explicit: byte-identical match rate of
       // extracted text vs the source text (must be 1.0 == n_total).
@@ -374,6 +384,9 @@ object SparkEntry {
         "(SELECT doc_id, trim(regexp_replace(text, '[ \\t\\r\\n\\x0B\\x0C]+', ' ', 'g'), ' ') AS norm " +
         "FROM documents) ORDER BY doc_id"),
     "x11_extract_html" ->
+      ("SELECT doc_id, trim(regexp_replace(text, '[ \\t\\r\\n\\x0B\\x0C]+', ' ', 'g'), ' ') " +
+        "AS extracted FROM documents ORDER BY doc_id"),
+    "x32_extract_html_entities" ->
       ("SELECT doc_id, trim(regexp_replace(text, '[ \\t\\r\\n\\x0B\\x0C]+', ' ', 'g'), ' ') " +
         "AS extracted FROM documents ORDER BY doc_id"),
     "q01_lineitem_agg" ->

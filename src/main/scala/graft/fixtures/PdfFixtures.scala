@@ -517,6 +517,71 @@ object PdfFixtures {
     bld.build()
   }
 
+  /** Encrypted doc in MODERN container form: xref STREAM + object stream,
+    * RC4 V2/R3 crypt. Exercises the decrypt/parse ORDERING interactions:
+    * the xref stream is never encrypted, the objstm container IS (key of
+    * its own object number), and objstm MEMBERS are not re-decrypted
+    * (crossrefs.go:317-321). Empty user password.
+    */
+  def sEncryptedObjstm(text: String, docId: Long): Array[Byte] = {
+    import PdfEncrypt._
+    val p = -1
+    val id0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-ido-$docId".getBytes(ISO_8859_1))
+    val opass = "graft-owner".getBytes(ISO_8859_1)
+    val upass = Array.emptyByteArray
+    val o = alg3O(opass, upass, r = 3, lengthBits = 128)
+    val ekey = alg2Key(upass, o, p, id0, r = 3, lengthBits = 128)
+    val u = alg5U(ekey, id0)
+    val out = new ByteArrayOutputStream()
+    out.write(b("%PDF-1.5\n%âãÏÓ\n"))
+    // obj 4: content stream, RC4 with key(4,0)
+    val content = contentFor(text)
+    val enc4 = graft.pdf.PdfCrypt.rc4(objectKey(ekey, 4, 0, isAes = false), content)
+    val off4 = out.size().toLong
+    out.write(b(s"4 0 obj\n<< /Length ${enc4.length} >>\nstream\n"))
+    out.write(enc4)
+    out.write(b("\nendstream\nendobj\n"))
+    // obj 7: the Encrypt dict (plain, of course)
+    val off7 = out.size().toLong
+    out.write(b(s"7 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p " +
+      s"/O <${hex(o)}> /U <${hex(u)}> >>\nendobj\n"))
+    // obj 6: objstm holding 1 (catalog), 2 (pages), 3 (page); the WHOLE
+    // container is flate-encoded then RC4'd with key(6,0).
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+    val o3 = s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>"
+    val payload = new StringBuilder
+    val hdr = new StringBuilder
+    for ((num, src) <- Seq((1, o1), (2, o2), (3, o3))) {
+      hdr.append(s"$num ${payload.length} ")
+      payload.append(src).append('\n')
+    }
+    val first = hdr.length
+    val objstmPlain = Filters.flateEncode(b(hdr.toString + payload.toString))
+    val enc6 = graft.pdf.PdfCrypt.rc4(objectKey(ekey, 6, 0, isAes = false), objstmPlain)
+    val off6 = out.size().toLong
+    out.write(b(s"6 0 obj\n<< /Type /ObjStm /N 3 /First $first /Filter /FlateDecode " +
+      s"/Length ${enc6.length} >>\nstream\n"))
+    out.write(enc6)
+    out.write(b("\nendstream\nendobj\n"))
+    // obj 5: xref stream (NEVER encrypted), trailer entries inline.
+    val off5 = out.size().toLong
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] =
+      Array[Byte](t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+    val rows = Array(
+      row(0, 0, 0), row(2, 6, 0), row(2, 6, 1), row(2, 6, 2),
+      row(1, off4, 0), row(1, off5, 0), row(1, off6, 0), row(1, off7, 0))
+    val xrefEnc = Filters.flateEncode(rows.flatten)
+    out.write(b(s"5 0 obj\n<< /Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R " +
+      s"/Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>] " +
+      s"/Filter /FlateDecode /Length ${xrefEnc.length} >>\nstream\n"))
+    out.write(xrefEnc)
+    out.write(b("\nendstream\nendobj\n"))
+    out.write(b(s"startxref\n$off5\n%%EOF\n"))
+    out.toByteArray
+  }
+
   /** Two-page document: per-page texts joined with "\n" at the doc level. */
   def twoPages(t1: String, t2: String): Array[Byte] = {
     val bld = new Builder()
@@ -604,6 +669,32 @@ object PdfFixtures {
          |<footer>Copyright 2026 Example Corp</footer>
          |</body></html>""".stripMargin
     html.getBytes(UTF_8)
+  }
+
+  /** HTML page where characters are deterministically encoded as entities
+    * (every 7th codepoint as decimal &#N;, every 11th as hex &#xH;, plus the
+    * XML specials): extraction must DECODE back to the original text
+    * (whitespace-normalized) — the entity decoder through the driver gate.
+    */
+  def htmlEntities(text: String): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    var pos = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val enc = cp match {
+        case '&' => "&amp;"
+        case '<' => "&lt;"
+        case '>' => "&gt;"
+        case _ if pos % 7 == 3  => s"&#$cp;"
+        case _ if pos % 11 == 5 => f"&#x$cp%X;"
+        case _ => new String(Character.toChars(cp))
+      }
+      sb.append(enc)
+      pos += 1
+      i += Character.charCount(cp)
+    }
+    s"<html><body><article><p>$sb</p></article></body></html>".getBytes(UTF_8)
   }
 
   /** Single-paragraph page used for the DuckDB-oracle HTML round-trip. */
