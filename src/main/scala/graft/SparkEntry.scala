@@ -205,11 +205,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "x14_ann_lsh" -> ((s, dir) => {
+      // Integer-exact LSH end to end (FNV-quantized hyperplanes + quantized
+      // dot scoring): bucket assignment, radius-2 multiprobe, candidate
+      // scoring and tie-breaks all mirror bit-for-bit in the DuckDB oracle.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val qids = emb.select("vec_id").orderBy("vec_id").limit(3)
         .collect().map(_.getLong(0)).toSeq
-      Similarity.lshTopK(s, emb, qids, k = 10, bits = Similarity.bitsFor(emb.count()))
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.lshTopKQuant(s, emb, qids, k = 10, bits = Similarity.bitsFor(emb.count()))
+        .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     "x15_embedding_buckets" -> ((s, dir) => {
@@ -343,6 +346,23 @@ object SparkEntry {
       "good AS (SELECT ia, ib, inter, un FROM pairs " +
       "WHERE (CASE WHEN un = 0 THEN 1.0 ELSE inter * 1.0 / un END) >= 0.7)"
 
+  /** Integer-exact LSH signature CTEs (mirror Similarity.lshSignature with
+    * bitsFor(n) planes): FNV-quantized hyperplane components in
+    * [-1000, 1000] against round(v*1000) vector components.
+    */
+  private val lshSigSql: String = {
+    val fnvPd = fnvSql("(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR))")
+    "cnt AS (SELECT count(*) AS n FROM embeddings), " +
+      "cfg AS (SELECT GREATEST(2, LEAST(62, CAST(ceil(log2(GREATEST(n, 1) / 32.0)) AS INT))) AS bits FROM cnt), " +
+      "dots AS (SELECT e.vec_id, pr.p, " +
+      "list_sum(list_transform(range(0, len(e.embedding)), d -> " +
+      "CAST(round(CAST(e.embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1000) AS BIGINT) * " +
+      s"(CAST($fnvPd % 2001 AS BIGINT) - 1000))) AS dotp " +
+      "FROM embeddings e, cfg, range(0, 62) pr(p) WHERE pr.p < cfg.bits), " +
+      "sig AS (SELECT vec_id, CAST(sum(CASE WHEN dotp >= 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM dots GROUP BY 1)"
+  }
+
   /** Per-doc FNV-based simhash (mirrors Dedup.simhash64). */
   private val simhashSql: String =
     "WITH toks AS (SELECT doc_id, tok FROM documents, " +
@@ -429,6 +449,28 @@ object SparkEntry {
     "x12_extract_statuses" ->
       // The mixed corpus is all-valid by construction: every doc must be ok.
       "SELECT 'ok' AS status, CAST(count(*) AS BIGINT) AS n FROM documents ORDER BY status",
+    "x14_ann_lsh" ->
+      ("WITH " + lshSigSql + ", " +
+        "q AS (SELECT s.vec_id AS query_id, s.bucket AS qb, e.embedding AS qe " +
+        "FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id ORDER BY s.vec_id LIMIT 3), " +
+        "probes AS (SELECT query_id, qb AS probe FROM q " +
+        "UNION SELECT query_id, xor(qb, (1::BIGINT << CAST(i AS INT))) FROM q, cfg, range(0, 62) r(i) WHERE i < cfg.bits " +
+        "UNION SELECT query_id, xor(xor(qb, (1::BIGINT << CAST(i AS INT))), (1::BIGINT << CAST(j AS INT))) " +
+        "FROM q, cfg, range(0, 62) r(i), range(0, 62) r2(j) WHERE i < j AND j < cfg.bits), " +
+        "cand AS (SELECT p.query_id, s.vec_id FROM probes p JOIN sig s ON s.bucket = p.probe " +
+        "WHERE s.vec_id <> p.query_id), " +
+        "scored AS (SELECT c.query_id, c.vec_id AS neighbor_id, " +
+        "CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> " +
+        "CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) * " +
+        "CAST(round(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dot " +
+        "FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM scored) " +
+        "SELECT query_id, neighbor_id, dot, CAST(rn AS INT) AS rank FROM ranked " +
+        "WHERE rn <= 10 ORDER BY query_id, rn"),
+    "x15_embedding_buckets" ->
+      ("WITH " + lshSigSql +
+        " SELECT bucket AS lsh_bucket, CAST(count(*) AS BIGINT) AS n FROM sig " +
+        "GROUP BY 1 ORDER BY 1"),
     "x13_ann_bruteforce_cosine" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 3), " +
         "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +

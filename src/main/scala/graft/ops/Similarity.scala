@@ -78,24 +78,35 @@ object Similarity {
   // --------------------------------------------------------------- LSH ANN
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * murmur-derived uniform in [-1, 1].
+    * FNV-derived INTEGER in [-1000, 1000]. Integer components + quantized
+    * vectors make the whole signature computation integer-exact — the same
+    * arithmetic runs bit-for-bit in the DuckDB oracle (no FP sign-flip
+    * hazard at near-zero dots), and quantized random projections hash as
+    * well as real-valued ones.
     */
-  def hyperplane(plane: Int, dim: Int): Double = {
-    val h = MurmurHash3.productHash((plane, dim))
-    (h.toDouble / Int.MaxValue)
-  }
+  def hyperplaneQ(plane: Int, dim: Int): Long =
+    java.lang.Long.remainderUnsigned(TextOps.fnv1a64(plane + ":" + dim), 2001L) - 1000L
+
+  /** round-half-away-from-zero (matches SQL round() in Spark and DuckDB). */
+  def roundQ(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
 
   val DefaultSignatureBits = 12
   val MaxSignatureBits = 62
 
-  /** Random-hyperplane signature of a vector (Long: up to 62 planes). */
+  /** Random-hyperplane signature of a vector (Long: up to 62 planes).
+    * INTEGER-exact: dot = sum(round(v_d * 1000) * hyperplaneQ(p, d)).
+    */
   def lshSignature(v: Array[Float], bits: Int): Long = {
     var sig = 0L
+    val q = new Array[Long](v.length)
+    var d = 0
+    while (d < v.length) { q(d) = roundQ(v(d).toDouble * 1000); d += 1 }
     var p = 0
     while (p < bits) {
-      var dot = 0.0
-      var d = 0
-      while (d < v.length) { dot += v(d) * hyperplane(p, d); d += 1 }
+      var dot = 0L
+      d = 0
+      while (d < v.length) { dot += q(d) * hyperplaneQ(p, d); d += 1 }
       if (dot >= 0) sig |= (1L << p)
       p += 1
     }
@@ -158,6 +169,34 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** lshTopK with QUANTIZED-INTEGER scoring: with the integer signatures the
+    * complete pipeline (bucket assignment, multi-probe, candidate scoring,
+    * tie-breaks) is exact cross-engine arithmetic — DuckDB-oracle-checkable
+    * end to end.
+    */
+  def lshTopKQuant(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long],
+                   k: Int = 10, idCol: String = "vec_id",
+                   embCol: String = "embedding",
+                   bits: Int = DefaultSignatureBits,
+                   probeRadius: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = withLshBucket(embeddings, embCol, bits)
+    val probesUdf = udf((sig: Long) => probeSet(sig, bits, probeRadius))
+    val queries = broadcast(
+      bucketed.filter(col(idCol).isInCollection(queryIds))
+        .select(col(idCol).as("query_id"), col(embCol).as("qe"), col("lsh_bucket").as("qb"))
+        .withColumn("probe", explode(probesUdf(col("qb"))))
+        .select("query_id", "qe", "probe"))
+    val scored = bucketed
+      .join(queries, col("lsh_bucket") === col("probe"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("dot", expr(QuantDotExpr.replace("embedding", embCol)))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("dot"), col("rank"))
   }
 
   // --------------------------------------------------------------- IVF ANN
@@ -267,10 +306,10 @@ object Similarity {
           var sig = bucket
           var p2 = fromBit
           while (p2 < fromBit + extraBits) {
-            var dot = 0.0
+            var dot = 0L
             val arr = v
             var d = 0
-            while (d < arr.length) { dot += arr(d) * hyperplane(p2, d); d += 1 }
+            while (d < arr.length) { dot += roundQ(arr(d).toDouble * 1000) * hyperplaneQ(p2, d); d += 1 }
             if (dot >= 0) sig |= (1L << p2)
             p2 += 1
           }
