@@ -15,7 +15,8 @@ import graft.spark.{PagesGen, Pipeline}
   * partitions = the 4N run). Separate local[8]/local[32] sessions in a
   * fresh JVM measure mostly JIT warmup and session churn — partition-limited
   * concurrency in a warmed session isolates the actual compute scaling.
-  * Timed runs are the median of 3 after 2 warmups.
+  * Timed runs are the MINIMUM of 4 interleaved reps after warmups (host
+  * steal only ever adds time).
   *
   * Prints ONE JSON line (driver contract shape + extras):
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
