@@ -131,6 +131,27 @@ object SparkEntry {
         .groupBy("r_name").agg(count(lit(1)).as("n_cust"))
         .orderBy("r_name")
     }),
+    "q11_brand_volume" -> ((s, dir) => {
+      // 3-way lineitem x part x supplier join (broadcast dims), integer-exact
+      // aggregates (counts + integer-valued quantity sums).
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .filter(col("p_size") >= 10)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .orderBy("p_brand", "s_nationkey")
+    }),
+    "q12_rollup" -> ((s, dir) => {
+      // ROLLUP over (returnflag, linestatus): subtotal + grand-total rows;
+      // NULL grouping keys render identically in both engines.
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
     "q10_json_props" -> ((s, dir) => {
       // Semi-structured props column: JSON field extraction + integer sums
       // (engine-exact arithmetic for the oracle).
@@ -425,6 +446,15 @@ object SparkEntry {
       ("SELECT user_id, event_id AS last_event_id, event_type AS last_type FROM (" +
         "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
         "FROM events) WHERE rn = 1 ORDER BY user_id"),
+    "q11_brand_volume" ->
+      ("SELECT p.p_brand, s.s_nationkey, count(*) AS n_items, sum(l.l_quantity) AS sum_qty " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "WHERE p.p_size >= 10 GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q12_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     "q10_json_props" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k " +
