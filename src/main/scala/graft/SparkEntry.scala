@@ -31,10 +31,11 @@ object SparkEntry {
     // ----------------------------------------------------- extraction (E2E)
     "x10_extract_pdf" -> ((s, dir) => {
       import s.implicits._
-      // PDF payload variants rotate through ALL 11 container families
+      // PDF payload variants rotate through ALL 14 container families
       // (classic xref / flate / objstm+xref-stream / multi-filter / ToUnicode
       // CMap / RC4 crypt / AESV2 crypt / startxref repair / LZW / RLE /
-      // inline image); extraction must return the exact original text.
+      // inline image / Separation+Type-4 tint / AESV3 R6 crypt / encrypted
+      // objstm); extraction must return the exact original text.
       PagesGen.pagesPdf(s, dir).map { row =>
         val r = Extract(row.html)
         (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, r.text)
@@ -78,6 +79,21 @@ object SparkEntry {
           val r = Extract(graft.fixtures.PdfFixtures.s09(text, s"part2 of $id"))
           (id, r.text)
         }.toDF("doc_id", "extracted").orderBy("doc_id")
+    }),
+    "x33_extract_spans" -> ((s, dir) => {
+      import s.implicits._
+      // Span accounting through the gate (the north rule's "text + span
+      // offsets"): two-page docs yield exactly 2 spans with byte offsets
+      // [0, len1) for page 0 and [len1+1, total) for page 1 (after the
+      // joining '\n') — all mirrored as octet_length arithmetic in SQL.
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val r = Extract(graft.fixtures.PdfFixtures.twoPages(text, s"p2 of $id"))
+          val sp = r.spans
+          (id, sp.length.toLong, sp.head.start, sp.head.end, sp.last.start, sp.last.end)
+        }.toDF("doc_id", "n_spans", "s0_start", "s0_end", "s1_start", "s1_end")
+        .orderBy("doc_id")
     }),
     "x32_extract_html_entities" -> ((s, dir) => {
       import s.implicits._
@@ -413,6 +429,12 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_match, CAST(count(*) AS BIGINT) AS n_total FROM documents",
     "x30_extract_multipage" ->
       ("SELECT doc_id, text || chr(10) || 'p2 of ' || CAST(doc_id AS VARCHAR) AS extracted " +
+        "FROM documents ORDER BY doc_id"),
+    "x33_extract_spans" ->
+      ("SELECT doc_id, CAST(2 AS BIGINT) AS n_spans, CAST(0 AS BIGINT) AS s0_start, " +
+        "CAST(strlen(text) AS BIGINT) AS s0_end, " + // strlen = BYTE length in DuckDB
+        "CAST(strlen(text) + 1 AS BIGINT) AS s1_start, " +
+        "CAST(strlen(text) + 1 + strlen('p2 of ' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS s1_end " +
         "FROM documents ORDER BY doc_id"),
     // NB no separator: the " " glue joins stream BYTES ("...Tj ET BT...");
     // no text op emits it (DocumentSpec s09 pins this reference quirk).
