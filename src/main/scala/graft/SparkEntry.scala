@@ -121,6 +121,26 @@ object SparkEntry {
       val extracted = Pipeline.run(s, PagesGen.pagesMixed(s, dir).toDF(), "x12")
       extracted.toDF().groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
     }),
+    "x34_status_taxonomy" -> ((s, dir) => {
+      import s.implicits._
+      // The FULL status taxonomy through the gate: planted garbage (error),
+      // over-cap payloads (skipped_oversize), empty payloads (empty) and
+      // valid docs (ok), with the expected histogram pure doc_id arithmetic.
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val payload: Array[Byte] = (id % 10) match {
+            case 3 => "%PDF-garbage that cannot parse".getBytes
+            case 6 => Array.fill[Byte](100000)('x') // over the 50k cap below
+            case 9 => Array.emptyByteArray
+            case _ => graft.fixtures.PdfFixtures.s01(text)
+          }
+          graft.spark.PageRow(f"https://t/doc-$id%06d",
+            new java.sql.Timestamp(PagesGen.BaseTs + id), payload, "", "en")
+        }.toDF()
+      Pipeline.extract(s, pages, "x34", maxBytesPerDoc = 50000).toDF()
+        .groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
+    }),
 
     // ------------------------------------------------- relational operators
     "q01_lineitem_agg" -> ((s, dir) => {
@@ -501,6 +521,10 @@ object SparkEntry {
     "x12_extract_statuses" ->
       // The mixed corpus is all-valid by construction: every doc must be ok.
       "SELECT 'ok' AS status, CAST(count(*) AS BIGINT) AS n FROM documents ORDER BY status",
+    "x34_status_taxonomy" ->
+      ("SELECT CASE CAST(doc_id % 10 AS INT) WHEN 3 THEN 'error' WHEN 6 THEN 'skipped_oversize' " +
+        "WHEN 9 THEN 'empty' ELSE 'ok' END AS status, CAST(count(*) AS BIGINT) AS n " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
     "x14_ann_lsh" ->
       ("WITH " + lshSigSql + ", " +
         "q AS (SELECT s.vec_id AS query_id, s.bucket AS qb, e.embedding AS qe " +
