@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   *   --input  <pages parquet/iceberg-layout path>        \
   *   --warehouse <output warehouse path>                 \
   *   [--run-id <id>] [--buckets 4096] [--batch-buckets 64] \
-  *   [--partitions 0] [--max-bytes-per-doc 67108864]
+  *   [--partitions -1] [--max-bytes-per-doc 67108864]
   * }}}
   *
   * Reads the Common-Crawl-shaped pages table, runs the resumable extraction
@@ -33,7 +33,10 @@ object Main {
     val runId = opts.getOrElse("run-id", java.util.UUID.randomUUID().toString.take(8))
     val buckets = opts.getOrElse("buckets", "64").toInt
     val batchBuckets = opts.getOrElse("batch-buckets", "16").toInt
-    val partitions = opts.getOrElse("partitions", "0").toInt
+    // -1 (default) = NO pre-kernel shuffle: the dedup window's url-hash
+    // partitioning feeds the kernel. Pass 0 / N to opt into an explicit
+    // url-hash spread for measured-skew inputs.
+    val partitions = opts.getOrElse("partitions", "-1").toInt
     val maxBytes = opts.getOrElse("max-bytes-per-doc",
       graft.Extract.DefaultMaxBytesPerDoc.toString).toInt
 
