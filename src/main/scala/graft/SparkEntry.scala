@@ -591,13 +591,20 @@ object SparkEntry {
         "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+', 0)) AS BIGINT) " +
         "AS n_bpe_tokens FROM documents ORDER BY doc_id"),
     "x28_winnow" ->
+      // Total over ALL doc shapes (empty / < k chars / <= w grams / general),
+      // mirroring winnowFingerprints' branches exactly.
       ("WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text), ' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12)), " +
         "'[ \\t\\r\\n\\x0B\\f]+', ' ', 'g') AS nm FROM documents), " +
-        s"h AS (SELECT doc_id, list_transform(range(1, length(nm) - 6), i -> ${toSignedSql(fnvSql("substring(nm, CAST(i AS INT), 8)"))}) AS hs FROM n), " +
-        "sel AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])))) AS fps FROM h) " +
+        s"h AS (SELECT doc_id, nm, CASE WHEN length(nm) >= 8 THEN list_transform(range(1, length(nm) - 6), i -> ${toSignedSql(fnvSql("substring(nm, CAST(i AS INT), 8)"))}) ELSE CAST([] AS BIGINT[]) END AS hs FROM n), " +
+        "sel AS (SELECT doc_id, CASE " +
+        "WHEN nm = '' THEN CAST([] AS BIGINT[]) " +
+        s"WHEN length(nm) < 8 THEN [${toSignedSql(fnvSql("nm"))}] " +
+        "WHEN len(hs) <= 3 THEN [list_min(hs)] " +
+        "ELSE list_sort(list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])))) END AS fps FROM h) " +
         "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, " +
+        "CASE WHEN len(fps) = 0 THEN 0 ELSE " +
         toSignedSql("(CAST(list_reduce(list_transform(fps, f -> CAST(CASE WHEN f < 0 THEN f + 18446744073709551616 ELSE f END AS HUGEINT)), (a,b) -> xor(a,b)) AS HUGEINT))") +
-        " AS fp_xor FROM sel ORDER BY doc_id"),
+        " END AS fp_xor FROM sel ORDER BY doc_id"),
     "x20_multimodal_decode" ->
       // The decode stub is a DECLARED deterministic fake (Multimodal.scala):
       // width/height/bytes are pure doc_id arithmetic, mirrored here.

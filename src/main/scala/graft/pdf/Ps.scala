@@ -331,6 +331,8 @@ object Ps {
         var i = 0L
         val times = math.abs(j)
         while (i < times) {
+          // a hostile `3 2e9 roll` must hit the per-doc budget, not spin
+          if ((i & 0xffff) == 0) Deadline.check()
           val from = stack.buf.length - ni
           if (j > 0) {
             val top = stack.buf.remove(stack.buf.length - 1)

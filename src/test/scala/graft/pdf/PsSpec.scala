@@ -137,6 +137,16 @@ class PsSpec extends AnyFunSuite {
       assert(run(prog) == want, s"program: $prog")
   }
 
+  test("hostile roll count hits the per-doc deadline instead of spinning") {
+    Deadline.set(System.nanoTime() + 300L * 1000000L) // 300ms budget
+    try {
+      val t0 = System.nanoTime()
+      intercept[PdfTimeout](run("{ 1 2 3 3 2000000000 roll }"))
+      val ms = (System.nanoTime() - t0) / 1000000L
+      assert(ms < 5000, s"roll should abort on deadline quickly, took ${ms}ms")
+    } finally Deadline.clear()
+  }
+
   test("errors: div by zero, exp undefined, sqrt range, unsupported operand, parse") {
     intercept[PdfError](run("{ 5 0 div }"))
     intercept[PdfError](run("{ -2 0.5 exp }"))
