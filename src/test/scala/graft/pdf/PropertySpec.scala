@@ -84,6 +84,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: corruption over the round-2 variant families never throws") {
+    // Permanent (CI-run) slice of the 54k fuzz sweep: the crypt (R3/R4/R6,
+    // encrypted objstm), CMap, LZW and Separation+PostScript parsing paths
+    // under point mutations and truncations. Fixed seed => deterministic.
+    val rnd = new java.util.Random(0xfadedL)
+    val variants = Seq(4, 5, 6, 8, 11, 12, 13)
+    for (v <- variants) {
+      val base = graft.spark.PagesGen.payloadFor(4242L, "fuzz target text body", v)
+      for (_ <- 0 until 120) {
+        val m = base.clone()
+        val edits = 1 + rnd.nextInt(6)
+        (0 until edits).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+        val r = Extract(m, Extract.DefaultMaxBytesPerDoc, timeoutMs = 10000)
+        assert(Set("ok", "error", "empty", "timeout").contains(r.status), s"variant $v")
+      }
+      for (_ <- 0 until 30) {
+        val r = Extract(java.util.Arrays.copyOf(base, rnd.nextInt(base.length + 1)),
+          Extract.DefaultMaxBytesPerDoc, timeoutMs = 10000)
+        assert(Set("ok", "error", "empty", "timeout").contains(r.status), s"variant $v trunc")
+      }
+    }
+  }
+
   test("property: random corruption never throws (status ok/error/empty)") {
     val base = PdfFixtures.s06("corruption target document")
     val cases = for {
