@@ -549,6 +549,50 @@ object Filters {
       throw new PdfError(s"$name encoding is not currently supported")
   }
 
+  // -------------------------------------------------------------------- dct
+
+  /** DCTDecode: JPEG -> raw interleaved samples (encoding.go:796-1012, which
+    * wraps Go's image/jpeg the way this wraps the JDK's ImageIO reader).
+    * Output layout matches the reference: row-major, 8-bit, gray 1 byte or
+    * RGB 3 bytes per pixel. IMAGE-ONLY machinery — decoded samples never
+    * feed the text path — so the cross-library IDCT/chroma-upsampling
+    * rounding differences vs Go's decoder are immaterial and documented
+    * (COVERAGE.md). Divergences kept narrow: CMYK JPEGs (unsupported by the
+    * JDK reader) and malformed JPEGs error, as under the reference's error
+    * path; the reference parses the header at encoder construction while
+    * this parses lazily at decode — both surface as the same document error.
+    */
+  object Dct extends PdfFilter {
+    def name = "DCTDecode"
+    def decodeBytes(data: Array[Byte]): Array[Byte] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+        catch { case e: Exception => throw new PdfError(s"DCT decode failed: ${e.getMessage}") }
+      if (img == null) throw new PdfError("DCT decode failed: no image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val comps = math.min(3, raster.getNumBands) // alpha not included in pdf
+      val out = new Array[Byte]((w.toLong * h * comps).toInt)
+      var idx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < comps) {
+            out(idx) = (raster.getSample(x, y, b) & 0xff).toByte
+            idx += 1
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   // ------------------------------------------------------------------ multi
 
   /** Filter-array chain. DecodeStream == DecodeBytes here: predictors are
@@ -591,7 +635,7 @@ object Filters {
     case "FlateDecode" => new Flate(flateParams(stream.dict, resolve, dParams))
     case "LZWDecode" =>
       val (p, ec) = lzwParams(stream.dict, dParams); new Lzw(p, ec)
-    case "DCTDecode" => new Unsupported("DCTDecode") // image-only; never feeds text
+    case "DCTDecode" => Dct // image-only; never feeds text (samples decode, see Dct doc)
     case "RunLengthDecode" => RunLength
     case "ASCIIHexDecode" => AsciiHex
     case "ASCII85Decode" | "A85" => Ascii85
@@ -636,7 +680,7 @@ object Filters {
           case "LZWDecode" => val (p, ec) = lzwParams(stream.dict, dp); new Lzw(p, ec)
           case "ASCIIHexDecode" => AsciiHex
           case "ASCII85Decode" => Ascii85
-          case "DCTDecode" => new Unsupported("DCTDecode")
+          case "DCTDecode" => Dct
           case _ => throw new PdfError("Invalid filter in multi filter array")
         }
       case _ => throw new PdfError("Multi filter array element not a name")
