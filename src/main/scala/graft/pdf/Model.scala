@@ -647,10 +647,17 @@ final class PdfDocument(val parser: PdfFileParser,
     new PdfPage(d, resources, d.get("Contents"))
   }
 
-  /** LoadAnnotations (page.go:312-362): Annots must trace to an array;
-    * members are null (skipped), inline dicts, or indirect dicts; the
-    * Subtype, when present, must be a name. Per-subtype attribute models are
-    * not rebuilt (extraction never reads them) — COVERAGE.md trims.
+  import PdfDocument.{knownSubtypes, markupSubtypes}
+
+  /** LoadAnnotations (page.go:312-362 + annotations.go:610-990): Annots must
+    * trace to an array; members are null (skipped), inline dicts, or
+    * indirect dicts. The subtype dispatch errors are replicated in full:
+    *  - Subtype present but not a name -> error;
+    *  - UNKNOWN subtype name -> "Unknown annotation (...)" error (the
+    *    reference aborts the whole document on vendor subtypes);
+    *  - missing Subtype -> tolerated (context nil);
+    *  - markup subtypes validate /Popup: must be an indirect object (or
+    *    null) whose annotation's subtype IS Popup, recursively validated.
     */
   private def loadAnnotations(d: PdfDict): Unit = {
     val annotsObj = d.get("Annots")
@@ -672,11 +679,55 @@ final class PdfDocument(val parser: PdfFileParser,
               }
             case _ => throw new PdfError("Annotation not in an indirect object")
           }
-          dict.get("Subtype") match {
-            case null | PdfName(_) => ()
-            case _ => throw new PdfError("Invalid Subtype object type != name")
-          }
+          validateAnnotation(dict, depth = 0)
       }
+    }
+  }
+
+  /** newPdfAnnotationFromIndirectObject's validation surface. Returns the
+    * subtype name (null when absent — context nil in the reference).
+    */
+  private def validateAnnotation(dict: PdfDict, depth: Int): String = {
+    if (depth > 100) throw new PdfError("annotation nesting depth exceeded")
+    dict.get("Subtype") match {
+      case null => null // missing Subtype tolerated (annotations.go:692-697)
+      case PdfName(name) =>
+        if (!knownSubtypes.contains(name))
+          throw new PdfError(s"Unknown annotation ($name)")
+        if (markupSubtypes.contains(name)) validateMarkupPopup(dict, depth)
+        name
+      case _ => throw new PdfError("Invalid Subtype object type != name")
+    }
+  }
+
+  /** newPdfAnnotationMarkupFromDict's /Popup check (annotations.go:944-962):
+    * a non-null Popup must be an INDIRECT object whose annotation validates
+    * and whose subtype is Popup.
+    */
+  private def validateMarkupPopup(d: PdfDict, depth: Int): Unit = {
+    d.get("Popup") match {
+      case null | PdfNull => ()
+      case io: PdfIndirect =>
+        val pd = io.obj match {
+          case x: PdfDict => x
+          case _ => throw new PdfError("Annotation indirect object not containing a dictionary")
+        }
+        val sub = validateAnnotation(pd, depth + 1)
+        if (sub != "Popup") throw new PdfError("Popup not referring to a popup annotation!")
+      case r: PdfRef =>
+        // lazily-resolved reference: the reference sees a PdfIndirectObject
+        // here (its graph is pre-traversed); resolve to match.
+        resolve(r) match {
+          case io: PdfIndirect =>
+            val pd = io.obj match {
+              case x: PdfDict => x
+              case _ => throw new PdfError("Annotation indirect object not containing a dictionary")
+            }
+            val sub = validateAnnotation(pd, depth + 1)
+            if (sub != "Popup") throw new PdfError("Popup not referring to a popup annotation!")
+          case _ => throw new PdfError("Popup should point to an indirect object")
+        }
+      case _ => throw new PdfError("Popup should point to an indirect object")
     }
   }
 
@@ -765,4 +816,17 @@ object PdfDocument {
     p.load()
     new PdfDocument(p, passwords)
   }
+
+  /** The reference's annotation subtype switch (annotations.go:610-935):
+    * the 28 known subtypes, and the subset loaded through
+    * newPdfAnnotationMarkupFromDict (whose /Popup validation is the ONLY
+    * error path inside the per-subtype loaders).
+    */
+  private[pdf] val markupSubtypes: Set[String] = Set("Text", "FreeText", "Line",
+    "Square", "Circle", "Polygon", "PolyLine", "Highlight", "Underline",
+    "Squiggly", "StrikeOut", "Caret", "Stamp", "Ink", "FileAttachment",
+    "Sound", "Projection", "Redact")
+  private[pdf] val knownSubtypes: Set[String] = markupSubtypes ++ Set("Link",
+    "Popup", "RichMedia", "Movie", "Screen", "Widget", "PrinterMark",
+    "TrapNet", "Watermark", "3D")
 }

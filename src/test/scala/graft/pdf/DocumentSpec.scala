@@ -294,4 +294,34 @@ class DocumentSpec extends AnyFunSuite {
     assert(Extract(pageWith("/Annots [<< /Subtype (Link) >>] ")).status == "error") // subtype not name
     assert(Extract(pageWith("/CropBox [0 0 612 792] /Rotate 90 ")).status == "ok")
   }
+
+  test("annotation subtype dispatch mirrors the reference error surface") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def doc(annots: String, extraObjs: PdfFixtures.Builder => Unit = _ => ()): Array[Byte] = {
+      val bld = new PdfFixtures.Builder()
+      bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources ${PdfFixtures.defaultResources} /Contents 4 0 R /Annots $annots >>")
+      val c = "BT (x) Tj ET".getBytes(ISO_8859_1)
+      bld.stream(4, s"<< /Length ${c.length} >>", c)
+      extraObjs(bld)
+      bld.build()
+    }
+    // Known subtypes (markup and non-markup) pass; missing Subtype tolerated.
+    assert(Extract(doc("[<< /Subtype /Widget >> << /Subtype /Highlight >> << /Rect [0 0 1 1] >>]")).status == "ok")
+    // UNKNOWN subtype -> reference's "Unknown annotation" abort (whole doc).
+    val unk = Extract(doc("[<< /Subtype /VendorMagic >>]"))
+    assert(unk.status == "error" && unk.error.contains("Unknown annotation"))
+    // Markup /Popup must be an INDIRECT object...
+    assert(Extract(doc("[<< /Subtype /Text /Popup << /Subtype /Popup >> >>]")).status == "error")
+    // ...whose annotation subtype IS Popup...
+    assert(Extract(doc("[<< /Subtype /Text /Popup 5 0 R >>]",
+      _.obj(5, "<< /Subtype /Popup >>"))).status == "ok")
+    // ...anything else errors ("Popup not referring to a popup annotation!").
+    val notPopup = Extract(doc("[<< /Subtype /Text /Popup 5 0 R >>]",
+      _.obj(5, "<< /Subtype /Link >>")))
+    assert(notPopup.status == "error" && notPopup.error.contains("popup annotation"))
+    // Popup null is fine (annotations.go:947-949).
+    assert(Extract(doc("[<< /Subtype /Ink /Popup null >>]")).status == "ok")
+  }
 }
