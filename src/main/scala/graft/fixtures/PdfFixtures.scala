@@ -582,6 +582,24 @@ object PdfFixtures {
     out.toByteArray
   }
 
+  /** sAnnotated: page carrying a representative /Annots array (Link, Widget,
+    * and a markup Text annotation with a valid indirect Popup) — the
+    * annotation subtype dispatch + popup validation must PASS and the text
+    * extract normally.
+    */
+  def sAnnotated(text: String): Array[Byte] = {
+    val bld = new Builder()
+    val c = contentFor(text)
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R " +
+      "/Annots [<< /Subtype /Link /Rect [0 0 10 10] >> 5 0 R << /Subtype /Widget >>] >>")
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    bld.obj(5, "<< /Type /Annot /Subtype /Text /Contents (note) /Popup 6 0 R >>")
+    bld.obj(6, "<< /Type /Annot /Subtype /Popup /Parent 5 0 R >>")
+    bld.build()
+  }
+
   /** Two-page document: per-page texts joined with "\n" at the doc level. */
   def twoPages(t1: String, t2: String): Array[Byte] = {
     val bld = new Builder()

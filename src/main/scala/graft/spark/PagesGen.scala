@@ -24,7 +24,7 @@ object PagesGen {
     * oracle checks, so ALL the families below (incl. crypt, CMap, repairs,
     * LZW/RLE, inline images) carry hard end-to-end evidence.
     */
-  val PdfVariants = 14
+  val PdfVariants = 15
 
   /** Deterministic payload for one document. */
   def payloadFor(docId: Long, text: String, variant: Int): Array[Byte] = variant match {
@@ -42,6 +42,7 @@ object PagesGen {
     case 11 => PdfFixtures.sSeparation(text)            // Separation + Type-4 PS tint
     case 12 => PdfFixtures.sEncryptedR6(text, docId)    // AESV3 V5/R6 crypt
     case 13 => PdfFixtures.sEncryptedObjstm(text, docId) // crypt x objstm x xref-stream
+    case 14 => PdfFixtures.sAnnotated(text)             // annotation dispatch + popup
     case _  => PdfFixtures.htmlSimple(text)             // HTML branch
   }
 
