@@ -60,6 +60,28 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming dedup by key with a watermark bound on state (the streaming
+    * analogue of the batch url-dedup): keeps the FIRST row per key; state
+    * for keys older than the watermark is dropped, so memory is bounded by
+    * the churn window, not the stream history.
+    */
+  def dedupByKey(spark: SparkSession, inputDir: String, checkpointDir: String,
+                 outDir: String, keyCol: String = "user_id",
+                 tsCol: String = "ts", watermark: String = "1 hour"): Unit = {
+    val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+    val q = stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCol, tsCol)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+  }
+
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long,
                               duration_ms: Long)

@@ -69,6 +69,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((1L, 3L)))
   }
 
+  test("streaming dedup by key keeps one row per (key, ts) under a watermark") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    val (in, cp, out) = (s"$dir/in", s"$dir/cp", s"$dir/out")
+    val base = 1767225600000L
+    // duplicates: same (user_id, ts) appearing multiple times
+    val rows = Seq(
+      (1L, new Timestamp(base), 5L), (2L, new Timestamp(base), 5L),
+      (3L, new Timestamp(base + 1000), 5L), (4L, new Timestamp(base), 6L),
+      (5L, new Timestamp(base), 6L), (6L, new Timestamp(base), 6L))
+      .map { case (eid, ts, uid) => (eid, ts, uid, "e", 0.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(in)
+    StreamingOps.dedupByKey(spark, in, cp, out)
+    val got = spark.read.parquet(out).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).sorted
+    assert(got.toSeq == Seq((5L, base), (5L, base + 1000), (6L, base)))
+  }
+
   test("sessionization flushes idle OPEN sessions via ProcessingTimeTimeout") {
     import java.nio.file.Files
     import spark.implicits._
