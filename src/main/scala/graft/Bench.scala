@@ -15,8 +15,23 @@ import graft.spark.{PagesGen, Pipeline}
   * partitions = the 4N run). Separate local[8]/local[32] sessions in a
   * fresh JVM measure mostly JIT warmup and session churn — partition-limited
   * concurrency in a warmed session isolates the actual compute scaling.
-  * Timed runs are the MINIMUM of 4 interleaved reps after warmups (host
-  * steal only ever adds time).
+  *
+  * NOISE HARDENING (round 3): this box is a shared VM with heavy neighbor
+  * steal (observed identical reps varying 10-30x, /proc/stat steal jumps).
+  * Three defenses, in addition to the min-of-reps estimator:
+  *  1. the scaling pair (N and 4N task levels) runs with the WHOLE JVM
+  *     pinned to CPUs 0-7 (`taskset -a -cp`), so the 4N level cannot borrow
+  *     burst capacity from the other 24 vCPUs and neighbor load on those
+  *     vCPUs cannot touch the measurement;
+  *  2. every rep measures the steal time accrued on its CPU set during the
+  *     rep (per-cpu steal jiffies from /proc/stat); a rep whose stolen
+  *     cpu-seconds exceed 5% of (wall x active-parallelism) is marked dirty;
+  *  3. reps are interleaved round-robin across levels and ADAPTIVE: rounds
+  *     continue until each level has >= 4 clean reps (or a bounded cap), so
+  *     a noisy window buys more samples instead of poisoning the estimate.
+  * The reported time per level is the MINIMUM of its clean reps (host steal
+  * only ever ADDS time); if a level somehow has zero clean reps after the
+  * cap, the minimum over all reps is used.
   *
   * Prints ONE JSON line (driver contract shape + extras):
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
@@ -30,11 +45,73 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Noise estimator: the MINIMUM of the reps. Host steal and neighbor load
-    * only ever ADD time; the least-contended sample is the closest to the
-    * true runtime (standard for shared-box microbenchmarks).
+  // ------------------------------------------------------------- affinity
+
+  private def selfPid: Long = ProcessHandle.current().pid()
+
+  /** Pin ALL threads of this JVM to the given cpu list via taskset -a.
+    * Returns false (and leaves affinity unchanged) if taskset is missing or
+    * not permitted — the bench still runs, just without the pin defense.
     */
-  private def best(xs: Seq[Double]): Double = xs.min
+  private def setAffinity(cpuList: String): Boolean =
+    try {
+      val pb = new ProcessBuilder("taskset", "-a", "-cp", cpuList, selfPid.toString)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      pb.start().waitFor() == 0
+    } catch { case _: Exception => false }
+
+  // ------------------------------------------------------ steal accounting
+
+  /** Steal seconds accrued so far on the given cpu ids (per-cpu lines of
+    * /proc/stat, field 8 = steal, USER_HZ = 100). Empty set = the aggregate
+    * "cpu " line.
+    */
+  private def stealSeconds(cpus: Set[Int]): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        var total = 0L
+        for (line <- src.getLines() if line.startsWith("cpu")) {
+          val parts = line.trim.split("\\s+")
+          val tag = parts(0)
+          val wanted =
+            if (cpus.isEmpty) tag == "cpu"
+            else tag.length > 3 && cpus.contains(tag.substring(3).toInt)
+          if (wanted && parts.length > 8) total += parts(8).toLong
+        }
+        total / 100.0
+      } finally src.close()
+    } catch { case _: Exception => 0.0 }
+
+  private def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Exception => 0.0 }
+
+  // ------------------------------------------------------------ measurement
+
+  /** One rep: wall time + steal accrued on `cpuSet` during it. */
+  private final case class Rep(wall: Double, steal: Double, clean: Boolean)
+
+  private def rep(cpuSet: Set[Int], activeTasks: Int)(f: => Unit): Rep = {
+    val s0 = stealSeconds(cpuSet)
+    val w = timed(f)
+    val s1 = stealSeconds(cpuSet)
+    val stolen = s1 - s0
+    // Dirty when stolen cpu-seconds exceed 5% of the rep's active cpu-time.
+    Rep(w, stolen, stolen < 0.05 * w * activeTasks)
+  }
+
+  /** min over clean reps, else min over all (steal only ever adds time). */
+  private def best(reps: Seq[Rep]): Double = {
+    val clean = reps.filter(_.clean)
+    (if (clean.nonEmpty) clean else reps).map(_.wall).min
+  }
+
+  private def fmtReps(reps: Seq[Rep]): String =
+    reps.map(r => f"${r.wall}%.2f${if (r.clean) "" else s"(steal ${r.steal}%.1f)"}")
+      .mkString(",")
 
   /** One extraction pass at EXACTLY k concurrent tasks: coalesce(k) caps the
     * scan partitions without a shuffle (file-layout partition counts are
@@ -98,39 +175,55 @@ object Bench {
     val docs = spark.read.parquet(pages4N).count()
 
     // Scaling FIRST (clean session; later queries leave heap/thread noise).
-    // Warm up twice, then interleave the levels and take medians. Two pairs
-    // are reported: (lo -> mid) runs far below the box's logical-CPU count
-    // on both sides — the honest proxy for N -> 4N EXECUTORS, which bring
-    // their own cores and memory; (mid -> hi) additionally shows the
-    // single-box saturation point (32 logical CPUs here are ~16 physical).
-    // Best-effort quiesce: high-concurrency timings are hostage to external
-    // host load; wait (bounded) for the 1-min loadavg to settle.
-    def loadavg(): Double =
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
-      catch { case _: Exception => 0.0 }
+    // Best-effort quiesce: wait (bounded) for the 1-min loadavg to settle
+    // before the measurement window opens.
     var waited = 0
     while (loadavg() > 2.0 && waited < 120) {
       System.err.println(f"[bench] waiting for load to settle (loadavg=${loadavg()}%.1f)")
       Thread.sleep(10000); waited += 10
     }
-    extractionPass(spark, pages4N, hi)
-    extractionPass(spark, pages4N, mid)
+
+    // ---- scaling pair (lo -> mid), JVM pinned to CPUs 0-7 ----
+    // Pinning BEFORE the warmups keeps JIT state consistent with the
+    // measured configuration; the pin set (8 cpus) leaves the lo level far
+    // under-subscribed and gives the mid level exactly its own cores —
+    // the single-box proxy for executors that bring their own hardware.
+    val pinSet = (0 until math.min(8, cpus)).toSet
+    val pinned = setAffinity(pinSet.toSeq.sorted.mkString(","))
+    System.err.println(s"[bench] scaling pair pinned to cpus 0-${pinSet.max}: $pinned")
+    extractionPass(spark, pages4N, mid) // warmups under the pin
     extractionPass(spark, pages4N, lo)
-    val tLo = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val tMid = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val tHi = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (_ <- 1 to 4) { // interleaved round-robin decorrelates machine drift
-      tLo += timed(extractionPass(spark, pages4N, lo))
-      tMid += timed(extractionPass(spark, pages4N, mid))
-      tHi += timed(extractionPass(spark, pages4N, hi))
+    val measureSet = if (pinned) pinSet else Set.empty[Int]
+    val repsLo = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    val repsMid = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    val targetClean = 4
+    val minRounds = 4
+    val maxRounds = 12
+    var round = 0
+    while (round < maxRounds &&
+      (round < minRounds ||
+        repsLo.count(_.clean) < targetClean || repsMid.count(_.clean) < targetClean)) {
+      // interleaved round-robin decorrelates machine drift across levels
+      repsLo += rep(measureSet, lo)(extractionPass(spark, pages4N, lo))
+      repsMid += rep(measureSet, mid)(extractionPass(spark, pages4N, mid))
+      round += 1
     }
-    System.err.println(s"[bench] lo reps: ${tLo.map(x => f"$x%.2f").mkString(",")}")
-    System.err.println(s"[bench] mid reps: ${tMid.map(x => f"$x%.2f").mkString(",")}")
-    System.err.println(s"[bench] hi reps: ${tHi.map(x => f"$x%.2f").mkString(",")}")
-    val t2 = best(tLo.toSeq)
-    val t8 = best(tMid.toSeq)
-    val t32 = best(tHi.toSeq)
+    System.err.println(s"[bench] lo reps: ${fmtReps(repsLo.toSeq)}")
+    System.err.println(s"[bench] mid reps: ${fmtReps(repsMid.toSeq)}")
+    val tLo = best(repsLo.toSeq)
+    val tMid = best(repsMid.toSeq)
+
+    // ---- saturation level (hi) needs every core: unpin ----
+    if (pinned) setAffinity(s"0-${cpus - 1}")
+    extractionPass(spark, pages4N, hi) // re-warm at full width
+    val repsHi = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    var hiRound = 0
+    while (hiRound < 8 && (hiRound < 4 || repsHi.count(_.clean) < 3)) {
+      repsHi += rep(Set.empty, hi)(extractionPass(spark, pages4N, hi))
+      hiRound += 1
+    }
+    System.err.println(s"[bench] hi reps: ${fmtReps(repsHi.toSeq)}")
+    val tHi = best(repsHi.toSeq)
 
     // Headline relational / ops queries (same set the driver verifies).
     val headline = Seq("q01_lineitem_agg", "q02_top_orders", "q04_latest_event",
@@ -151,24 +244,29 @@ object Bench {
       queryTimes(name) = if (ok) t else -1.0
       if (!ok) failed += name
     }
-    queryTimes(s"extract_p$lo") = t2
-    queryTimes(s"extract_p$mid") = t8
-    queryTimes(s"extract_p$hi") = t32
+    queryTimes(s"extract_p$lo") = tLo
+    queryTimes(s"extract_p$mid") = tMid
+    queryTimes(s"extract_p$hi") = tHi
 
-    val tp2 = docs / t2
-    val tp8 = docs / t8
-    val tp32 = docs / t32
+    val tpLo = docs / tLo
+    val tpMid = docs / tMid
+    val tpHi = docs / tHi
     // divide by the ACTUAL level ratios (lo/mid/hi are only 4x apart for
     // specific core counts)
-    val eff28 = tp8 / ((mid.toDouble / lo) * tp2)
-    val eff832 = tp32 / ((hi.toDouble / mid) * tp8)
+    val eff28 = tpMid / ((mid.toDouble / lo) * tpLo)
+    val eff832 = tpHi / ((hi.toDouble / mid) * tpMid)
     val total = queryTimes.values.filter(_ >= 0).sum
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    def repJson(reps: Seq[Rep]): String =
+      reps.map(r => s"""{"wall":${"%.3f".format(r.wall)},"steal":${"%.3f".format(r.steal)},"clean":${r.clean}}""")
+        .mkString("[", ",", "]")
+    val meta =
+      s""""pinned":$pinned,"clean_reps":[${repsLo.count(_.clean)},${repsMid.count(_.clean)},${repsHi.count(_.clean)}],"reps_lo":${repJson(repsLo.toSeq)},"reps_mid":${repJson(repsMid.toSeq)},"reps_hi":${repJson(repsHi.toSeq)}"""
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".format(t32)},"docs_per_sec":${"%.1f".format(tp32)},"docs_per_sec_per_core":${"%.1f".format(tp32 / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".format(tp2)},${"%.1f".format(tp8)},${"%.1f".format(tp32)}],"efficiency_n_to_4n":${"%.3f".format(eff28)},"efficiency_saturated":${"%.3f".format(eff832)},"efficiency":${"%.3f".format(eff28)}}}""")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".format(tHi)},"docs_per_sec":${"%.1f".format(tpHi)},"docs_per_sec_per_core":${"%.1f".format(tpHi / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".format(tpLo)},${"%.1f".format(tpMid)},${"%.1f".format(tpHi)}],"efficiency_n_to_4n":${"%.3f".format(eff28)},"efficiency_saturated":${"%.3f".format(eff832)},"efficiency":${"%.3f".format(eff28)},$meta}}""")
     spark.stop()
   }
 }

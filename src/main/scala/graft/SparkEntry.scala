@@ -322,21 +322,33 @@ object SparkEntry {
         .select("doc_id", "n_fps", "fp_xor").orderBy("doc_id")
     }),
     "x29_ann_ivf" -> ((s, dir) => {
-      // IVF ANN (k-means coarse quantizer + probed-cell scan) — the
-      // data-adaptive scale path next to the LSH one. KMeans is not
-      // SQL-mirrorable -> rows-only driver check; recall is pinned by
-      // ScaleSpec against brute force.
+      // IVF ANN (coarse quantizer + probed-cell scan) — the data-adaptive
+      // scale path next to the LSH one. The gate runs the DETERMINISTIC
+      // integer-exact quantizer (fixed initial centroids = lowest vec_ids +
+      // one floorDiv Lloyd step): assignment, probing, scoring and
+      // tie-breaks all mirror bit-for-bit in the DuckDB oracle. The
+      // production k-means variant (ivfTopK) stays recall-pinned vs brute
+      // force in ScaleSpec.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val qids = emb.select("vec_id").orderBy("vec_id").limit(3)
         .collect().map(_.getLong(0)).toSeq
-      Similarity.ivfTopK(s, emb, qids, k = 10, nLists = 16, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.ivfTopKQuant(s, emb, qids, k = 10, nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     "x25_minhash_pairs" -> ((s, dir) => {
       // Verified near-dup pairs with INTEGER shingle intersection/union
       // counts; the DuckDB oracle computes exact all-pairs Jaccard (feasible
       // at verify scale) — also proves LSH recall on the planted dups.
+      // RECALL ASSUMPTION (probabilistic == exact equality): 16 bands x 4
+      // rows collide w.p. 1-(1-J^4)^16 ≈ 98.8% at J=0.7 but ≥ 99.998% at
+      // J≥0.9; the driver's testdata plants near-dups at J in [0.9, 0.99]
+      // and its organic text is either identical (J=1, intra-group path) or
+      // far below threshold, so a hash-gate miss needs a 1-in-50k band
+      // fluke on a planted pair. The zero-shingle corner is STRUCTURAL, not
+      // probabilistic: the oracle's pair universe excludes zero-shingle
+      // docs exactly as banding does (see shingleSetsSql), so empty-vs-
+      // empty un=0 pairs can't diverge. Same assumptions back x16.
       Dedup.minhashDupPairs(s, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
           col("un").cast("long").as("un"))
@@ -348,6 +360,27 @@ object SparkEntry {
       Dedup.simhashDupPairs(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy("a", "b")
+    }),
+
+    // ---------------------------------------------------------- streaming
+    "x35_stream_dedup" -> ((s, dir) => {
+      // Structured Streaming dedup through the gate: events (with planted
+      // exact-duplicate rows) flow through readStream -> watermarked
+      // dropDuplicates(user_id, ts) -> parquet sink under
+      // Trigger.AvailableNow. The watermark delay (3650 days) exceeds the
+      // data span, so NO row can be late-dropped regardless of how the file
+      // source batches -> the result is exactly SELECT DISTINCT (user_id,
+      // ts), which the SQL oracle states directly. (Production keeps a
+      // churn-window watermark; the gate pins the exact-equivalence corner.)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x35").toString
+      val events = s.read.parquet(s"$dir/events.parquet")
+      events.unionByName(events.filter(col("event_id") % 5 === 0))
+        .write.parquet(s"$tmp/in")
+      graft.streaming.StreamingOps.dedupByKey(s, s"$tmp/in", s"$tmp/ck", s"$tmp/out",
+        keyCol = "user_id", tsCol = "ts", watermark = "3650 days")
+      s.read.parquet(s"$tmp/out")
+        .groupBy("user_id").agg(count(lit(1)).as("n_rows"))
+        .orderBy("user_id")
     }),
 
     // ----------------------------------------- SQL surface (Catalyst expr)
@@ -396,10 +429,14 @@ object SparkEntry {
       "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
       "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shl FROM t), " +
       "s AS (SELECT doc_id, list_distinct(shl) AS sset FROM sh), " +
+      // Zero-shingle docs are excluded from the pair universe on BOTH sides
+      // (Spark: no bands -> no candidates; they dedup via the exact path), so
+      // the empty-vs-empty un=0 corner can't diverge.
       "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
       "len(list_intersect(a.sset, b.sset)) AS inter, " +
       "len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)) AS un " +
-      "FROM s a JOIN s b ON a.doc_id < b.doc_id), " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE len(a.sset) > 0 AND len(b.sset) > 0), " +
       "good AS (SELECT ia, ib, inter, un FROM pairs " +
       "WHERE (CASE WHEN un = 0 THEN 1.0 ELSE inter * 1.0 / un END) >= 0.7)"
 
@@ -418,6 +455,42 @@ object SparkEntry {
       "FROM embeddings e, cfg, range(0, 62) pr(p) WHERE pr.p < cfg.bits), " +
       "sig AS (SELECT vec_id, CAST(sum(CASE WHEN dotp >= 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket " +
       "FROM dots GROUP BY 1)"
+  }
+
+  /** Integer-exact IVF CTEs (mirror Similarity.ivfTopKQuant, nLists=16,
+    * nProbe=4): quantized vectors, initial centroids = the 16 lowest
+    * vec_ids, one floorDiv Lloyd step (empty cells keep their initial
+    * centroid), squared-L2 assignment with lowest-index tie-break. All
+    * BIGINT arithmetic — floorDiv(s, c) is spelled (s - ((s%c)+c)%c) // c,
+    * exact because the numerator is divisible. range(1,257)+WHERE bounds
+    * the dim unnest (range() table function can't take lateral args).
+    */
+  private val ivfSql: String = {
+    def l2(v: String, c: String): String =
+      s"list_sum(list_transform(range(1, len($v) + 1), i -> " +
+        s"($v[CAST(i AS INT)] - $c[CAST(i AS INT)]) * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])))"
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings), " +
+      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS ci, qv AS ce " +
+      "FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16) t), " +
+      s"d0 AS (SELECT a.vec_id, c.ci, ${l2("a.qv", "c.ce")} AS dist FROM e a, c0 c), " +
+      "a0 AS (SELECT vec_id, ci FROM (SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM d0) WHERE rn = 1), " +
+      "sums AS (SELECT a.ci, r.i AS i, CAST(sum(x.qv[CAST(r.i AS INT)]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c " +
+      "FROM a0 a JOIN e x USING (vec_id), range(1, 257) r(i) WHERE r.i <= len(x.qv) GROUP BY 1, 2), " +
+      "cd AS (SELECT ci, i, (s - ((s % c) + c) % c) // c AS cdim FROM sums), " +
+      "c1 AS (SELECT ci, list(cdim ORDER BY i) AS ce FROM cd GROUP BY ci), " +
+      "cf AS (SELECT c0.ci, coalesce(c1.ce, c0.ce) AS ce FROM c0 LEFT JOIN c1 USING (ci)), " +
+      s"d1 AS (SELECT a.vec_id, c.ci, ${l2("a.qv", "c.ce")} AS dist FROM e a, cf c), " +
+      "a1 AS (SELECT vec_id, ci AS list_id FROM (SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM d1) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS query_id, qv AS qq FROM e ORDER BY vec_id LIMIT 3), " +
+      s"qd AS (SELECT q.query_id, c.ci, ${l2("q.qq", "c.ce")} AS dist FROM q, cf c), " +
+      "probes AS (SELECT query_id, ci FROM (SELECT query_id, ci, row_number() OVER (PARTITION BY query_id ORDER BY dist, ci) AS rn FROM qd) WHERE rn <= 4), " +
+      "cand AS (SELECT p.query_id, a1.vec_id FROM probes p JOIN a1 ON a1.list_id = p.ci WHERE a1.vec_id <> p.query_id), " +
+      "scored AS (SELECT c.query_id, c.vec_id AS neighbor_id, " +
+      "CAST(list_sum(list_transform(range(1, len(x.qv) + 1), i -> x.qv[CAST(i AS INT)] * q.qq[CAST(i AS INT)])) AS BIGINT) AS dot " +
+      "FROM cand c JOIN e x ON x.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id), " +
+      "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM scored) " +
+      "SELECT query_id, neighbor_id, dot, CAST(rn AS INT) AS rank FROM ranked " +
+      "WHERE rn <= 10 ORDER BY query_id, rn"
   }
 
   /** Per-doc FNV-based simhash (mirrors Dedup.simhash64). */
@@ -613,6 +686,10 @@ object SparkEntry {
         "CAST(8 + (doc_id // 7) % 16 AS INT) AS height, " +
         "CAST(5 + (8 + doc_id % 24) * (8 + (doc_id // 7) % 16) AS BIGINT) AS n_bytes " +
         "FROM documents ORDER BY doc_id"),
+    "x29_ann_ivf" -> ivfSql,
+    "x35_stream_dedup" ->
+      ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM " +
+        "(SELECT DISTINCT user_id, ts FROM events) GROUP BY 1 ORDER BY 1"),
     "q09_ann_topk" ->
       ("WITH mn AS (SELECT min(vec_id) AS mid FROM embeddings), " +
         "q AS (SELECT embedding AS qe FROM embeddings, mn WHERE vec_id = mid) " +

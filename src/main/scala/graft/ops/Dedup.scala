@@ -71,18 +71,33 @@ object Dedup {
     }
   }
 
-  /** 64-permutation MinHash signature; permutation i = murmur3(shingle, seed=i).
+  /** Per-permutation affine constants: a_i odd (bijective over Z/2^64),
+    * both FNV-derived and fixed. h -> a_i*h + b_i is a pairwise-independent
+    * permutation family — the standard one-hash MinHash scheme.
+    */
+  private val PermA: Array[Long] =
+    Array.tabulate(NumPerms)(i => TextOps.fnv1a64("mh_a:" + i) | 1L)
+  private val PermB: Array[Long] =
+    Array.tabulate(NumPerms)(i => TextOps.fnv1a64("mh_b:" + i))
+
+  /** 64-permutation MinHash signature. Each shingle is string-hashed ONCE
+    * (64-bit FNV); the 64 permutations are affine transforms of that hash —
+    * 64x less string hashing than a per-permutation seeded hash in the
+    * hottest dedup UDF. Unsigned comparison keeps the full 64-bit range.
     * Zero-shingle docs return an EMPTY signature (excluded from banding).
     */
-  def minhashSignature(text: String): Array[Int] = {
+  def minhashSignature(text: String): Array[Long] = {
     val sh = shingles(text)
     if (sh.isEmpty) return Array.empty
-    val sig = Array.fill(NumPerms)(Int.MaxValue)
+    // sig holds h XOR MinValue (flips the sign bit) so plain signed < is an
+    // unsigned compare of the underlying values.
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
     for (s <- sh) {
+      val h = TextOps.fnv1a64(s)
       var i = 0
       while (i < NumPerms) {
-        val h = MurmurHash3.stringHash(s, i)
-        if (h < sig(i)) sig(i) = h
+        val p = (PermA(i) * h + PermB(i)) ^ Long.MinValue
+        if (p < sig(i)) sig(i) = p
         i += 1
       }
     }
@@ -92,7 +107,7 @@ object Dedup {
   /** Band keys: hash of each band's rows (band index mixed in). Empty for
     * zero-shingle docs.
     */
-  def bandKeys(sig: Array[Int]): Array[Long] = {
+  def bandKeys(sig: Array[Long]): Array[Long] = {
     if (sig.isEmpty) return Array.empty
     val out = new Array[Long](NumBands)
     var b = 0
@@ -122,7 +137,7 @@ object Dedup {
   /** doc_id -> (signature, band keys). */
   def withMinhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val sigUdf = udf((s: String) => minhashSignature(s))
-    val bandUdf = udf((sig: Seq[Int]) => bandKeys(sig.toArray))
+    val bandUdf = udf((sig: Seq[Long]) => bandKeys(sig.toArray))
     docs.withColumn("mh_sig", sigUdf(col(textCol)))
       .withColumn("mh_bands", bandUdf(col("mh_sig")))
   }

@@ -190,9 +190,12 @@ object Similarity {
         .withColumn("probe", explode(probesUdf(col("qb"))))
         .select("query_id", "qe", "probe"))
     val scored = bucketed
+      // Alias the corpus column to the name QuantDotExpr expects (raw string
+      // substitution on the expression text is unsafe for arbitrary embCol).
+      .withColumn("embedding", col(embCol))
       .join(queries, col("lsh_bucket") === col("probe"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("dot", expr(QuantDotExpr.replace("embedding", embCol)))
+      .withColumn("dot", expr(QuantDotExpr))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -201,6 +204,13 @@ object Similarity {
 
   // --------------------------------------------------------------- IVF ANN
 
+  /** nLists sizing: ~sqrt(n) cells keeps cell size ~sqrt(n) (the classic IVF
+    * balance point: probe cost ~ nProbe*n/nLists, centroid scan ~ nLists).
+    * UNCAPPED in corpus size like bitsFor: 10^12 vectors -> 10^6 cells.
+    */
+  def listsFor(corpusSize: Long): Int =
+    math.max(2, math.ceil(math.sqrt(math.max(1.0, corpusSize.toDouble))).toInt)
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nLists` cells; queries scan only their `nProbe` closest
     * cells. The scale path when LSH's hash-only buckets under-fit the data
@@ -208,22 +218,30 @@ object Similarity {
     * vectors nLists ~ sqrt(n) keeps cells ~10^6 rows and a 16-probe query
     * touches ~0.0016% of the corpus. Centroids train on a sample (driver
     * default 100k rows) and live broadcast; assignment is one scan.
+    *
+    * `rowCount`: pass the (approximate) corpus size when known — it sizes
+    * the training-sample fraction and the default nLists WITHOUT an extra
+    * full `count()` pass over the corpus (at 100 TB that pass costs more
+    * than the training). rowCount < 0 falls back to one count().
+    * `nLists` < 0 picks listsFor(rowCount) (~sqrt n).
     */
   def ivfTopK(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long],
-              k: Int = 10, nLists: Int = 64, nProbe: Int = 4,
+              k: Int = 10, nLists: Int = -1, nProbe: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding",
-              seed: Long = 42L, trainSample: Int = 100000): DataFrame = {
+              seed: Long = 42L, trainSample: Int = 100000,
+              rowCount: Long = -1L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
     val withVec = embeddings
       .withColumn("__vec", array_to_vector(col(embCol).cast("array<double>")))
-    val n = withVec.count()
+    val n = if (rowCount >= 0) rowCount else withVec.count()
+    val lists = if (nLists > 0) nLists else listsFor(n)
     val train =
       if (n > trainSample)
         withVec.sample(withReplacement = false, trainSample.toDouble / n, seed)
       else withVec
-    val model = new KMeans().setK(math.min(nLists, math.max(2, n.toInt)))
+    val model = new KMeans().setK(math.min(lists, math.max(2, math.min(n, Int.MaxValue).toInt)))
       .setSeed(seed).setMaxIter(10).setFeaturesCol("__vec").fit(train)
     val assigned = model.transform(withVec)
       .withColumnRenamed("prediction", "list_id")
@@ -256,6 +274,94 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic, INTEGER-EXACT IVF ANN — the driver-gate variant (the
+    * k-means `ivfTopK` above is the production quantizer). Every step is
+    * exact integer arithmetic, so a plain-SQL oracle reproduces the whole
+    * pipeline bit-for-bit:
+    *  - vectors quantize as q_d = round(v_d * 1000) (BIGINT);
+    *  - initial centroids = quantized embeddings of the `nLists` LOWEST
+    *    vec_ids (fixed, data-derived seed);
+    *  - exactly ONE Lloyd step: assign each vector to its nearest centroid
+    *    by integer squared-L2 (tie -> lowest centroid index), then recompute
+    *    each centroid as the per-dimension floorDiv(sum, count) of its cell
+    *    (an empty cell keeps its initial centroid);
+    *  - the inverted lists are the assignment under the stepped centroids.
+    * Queries probe their `nProbe` nearest stepped centroids and score the
+    * candidates with the quantized integer dot product. Distribution shape
+    * matches `ivfTopK`: centroids are tiny driver-side state (2 collects of
+    * nLists rows), assignment is one scan, probing is a broadcast join.
+    */
+  def ivfTopKQuant(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long],
+                   k: Int = 10, nLists: Int = 16, nProbe: Int = 4,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val quant = embeddings.select(col(idCol).as("vid"),
+      expr(s"transform($embCol, x -> cast(round(cast(x as double) * 1000) as bigint))").as("qv"))
+
+    def nearest(cents: Array[Array[Long]]) = udf { (q: Seq[Long]) =>
+      var bestIdx = 0
+      var bestDist = Long.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        val c = cents(ci)
+        var dist = 0L
+        var d = 0
+        while (d < c.length) { val t = q(d) - c(d); dist += t * t; d += 1 }
+        if (dist < bestDist) { bestDist = dist; bestIdx = ci } // tie -> lowest ci
+        ci += 1
+      }
+      bestIdx
+    }
+
+    // Initial centroids: the nLists lowest vec_ids (quantizer params — tiny).
+    val c0: Array[Array[Long]] = quant.orderBy("vid").limit(nLists)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val dims = c0(0).length
+    // One Lloyd step: per-cell per-dim integer sums + counts (nLists x dims
+    // rows after a map-side-combined agg), then floorDiv centroids.
+    val aggCols = count(lit(1)).as("cnt") +:
+      (0 until dims).map(d => sum(element_at(col("qv"), d + 1)).as(s"s$d"))
+    val cellStats = quant.withColumn("c0", nearest(c0)(col("qv")))
+      .groupBy("c0").agg(aggCols.head, aggCols.tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), Array.tabulate(dims)(d => r.getLong(d + 2)))).toMap
+    val c1: Array[Array[Long]] = Array.tabulate(nLists) { ci =>
+      cellStats.get(ci) match {
+        case Some((cnt, sums)) => sums.map(s => Math.floorDiv(s, cnt))
+        case None => c0(ci) // empty cell keeps its initial centroid
+      }
+    }
+    val assigned = quant.withColumn("list_id", nearest(c1)(col("qv")))
+
+    // Probe lists per query: nProbe nearest stepped centroids (driver-side —
+    // queries and centroids are both tiny).
+    val queryVecs = quant.filter(col("vid").isInCollection(queryIds))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val probeRows = queryVecs.toSeq.flatMap { case (qid, qv) =>
+      c1.zipWithIndex.map { case (c, ci) =>
+        var dist = 0L
+        var d = 0
+        while (d < c.length) { val t = qv(d) - c(d); dist += t * t; d += 1 }
+        (qid, ci, dist)
+      }.sortBy(p => (p._3, p._2)).take(nProbe).map(p => (qid, p._2))
+    }
+    val probes = broadcast(probeRows.toDF("query_id", "probe_list"))
+    val queries = broadcast(
+      quant.filter(col("vid").isInCollection(queryIds))
+        .select(col("vid").as("query_id"), col("qv").as("qq")))
+    val scored = assigned
+      .join(probes, col("list_id") === col("probe_list"))
+      .join(queries, "query_id")
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("dot"), col("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket + exact
@@ -292,7 +398,18 @@ object Similarity {
     var out: DataFrame = null
     var round = 0
     var curBits = bits
+    // Each round reads `cur` three times (counts, small branch, big/next
+    // branch); without a persist every read re-runs the signature UDF
+    // lineage over the full surviving set — and round r's lineage chains
+    // through every earlier round's UDF. Persist each round's working set
+    // (MEMORY_AND_DISK, spills at scale): the caller's action materializes
+    // each once and all three reads share it. Rounds shrink geometrically
+    // (only big-bucket rows survive), so <= refineRounds+1 shrinking caches
+    // are held; they release with the session (plan construction is lazy, so
+    // an eager per-round unpersist here would empty the cache before the
+    // caller ever runs it).
     while (round <= refineRounds && cur != null) {
+      cur = cur.persist()
       val counts = cur.groupBy("lsh_bucket").agg(count(lit(1)).as("bn"))
       val small = cur.join(counts.filter(col("bn") <= maxBucket).select("lsh_bucket"), "lsh_bucket")
       val p = pairsWithin(small)

@@ -60,10 +60,14 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming dedup by key with a watermark bound on state (the streaming
-    * analogue of the batch url-dedup): keeps the FIRST row per key; state
-    * for keys older than the watermark is dropped, so memory is bounded by
-    * the churn window, not the stream history.
+  /** Streaming dedup on the (key, ts) PAIR with a watermark bound on state
+    * (the streaming analogue of the batch url-dedup): keeps the first row
+    * per distinct (keyCol, tsCol) — rows with the same key but different
+    * timestamps all survive (use dropDuplicatesWithinWatermark(keyCol) for
+    * per-key-only dedup). State for pairs older than the watermark is
+    * dropped, so memory is bounded by the churn window, not the stream
+    * history; a watermark longer than the data span makes the result exactly
+    * `SELECT DISTINCT key, ts` regardless of how the source batches.
     */
   def dedupByKey(spark: SparkSession, inputDir: String, checkpointDir: String,
                  outDir: String, keyCol: String = "user_id",
