@@ -448,6 +448,104 @@ object PdfFixtures {
         s"<< /FunctionType 4 /Domain [0 1] /Range [0 1 0 1 0 1] /Length ${prog.length} >>", prog))
   }
 
+  /** sHybrid: HYBRID-reference file (parser.go:1212-1222): a classic xref
+    * table holds only objects 1-3; the trailer's /XRefStm points at an xref
+    * STREAM that holds the entries for the content stream (4) and itself
+    * (5). Resolution of object 4 — and hence any text at all — REQUIRES the
+    * hybrid branch. W=[1 4 1] keeps 4-byte offsets (no 64KB cap).
+    */
+  def sHybrid(text: String): Array[Byte] = {
+    val content = contentFor(text)
+    val out = new ByteArrayOutputStream()
+    out.write(b("%PDF-1.5\n%âãÏÓ\n"))
+    def direct(num: Int, src: String): Long = {
+      val o = out.size().toLong
+      out.write(b(s"$num 0 obj\n$src\nendobj\n"))
+      o
+    }
+    val off1 = direct(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    val off2 = direct(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    val off3 = direct(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>")
+    val off4 = out.size().toLong
+    out.write(b(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n"))
+    out.write(content)
+    out.write(b("\nendstream\nendobj\n"))
+    val off5 = out.size().toLong
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array[Byte](t.toByte,
+      ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+      ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+    val rows = row(1, off4, 0) ++ row(1, off5, 0)
+    out.write(b(s"5 0 obj\n<< /Type /XRef /Size 6 /W [1 4 1] /Index [4 2] " +
+      s"/Root 1 0 R /Length ${rows.length} >>\nstream\n"))
+    out.write(rows)
+    out.write(b("\nendstream\nendobj\n"))
+    val xrefOff = out.size().toLong
+    out.write(b("xref\n0 4\n"))
+    out.write(b(f"${0}%010d ${65535}%05d f \n"))
+    out.write(b(f"$off1%010d ${0}%05d n \n"))
+    out.write(b(f"$off2%010d ${0}%05d n \n"))
+    out.write(b(f"$off3%010d ${0}%05d n \n"))
+    out.write(b(s"trailer\n<< /Root 1 0 R /Size 6 /XRefStm $off5 >>\n"))
+    out.write(b(s"startxref\n$xrefOff\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** sColorSpaces: Lab (resource, with /Range) `sc` + CalRGB (builtin name)
+    * `SC` + in-range Indexed `sc` ahead of the text — the colorspace
+    * families that were previously pinned only by unit tests, through the
+    * byte-identity gate.
+    */
+  def sColorSpaces(text: String): Array[Byte] = {
+    val res = s"<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> " +
+      "/ColorSpace << /Lab0 [/Lab << /Range [-100 100 -100 100] >>] " +
+      "/Ix0 [/Indexed /DeviceRGB 2 <FF000000FF000000FF>] >> >>"
+    val esc = new String(escapeStringText(text), ISO_8859_1)
+    val c = b(s"/Lab0 cs 50 20 -30 sc /CalRGB CS 0.2 0.3 0.4 SC /Ix0 cs 1 sc " +
+      s"BT /F1 12 Tf ($esc) Tj ET")
+    onePage(s"<< /Length ${c.length} >>", c, resources = res)
+  }
+
+  /** sTints: Separation scn through a Type-0 SAMPLED tint (2-sample linear
+    * table, functions.go:292-352) then a Type-2 EXPONENTIAL tint
+    * (functions.go:522-545), text after both — function families 0 and 2
+    * through the gate next to the Type-4 one (sSeparation).
+    */
+  def sTints(text: String): Array[Byte] = {
+    val esc = new String(escapeStringText(text), ISO_8859_1)
+    val res = s"<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> " +
+      "/ColorSpace << /SepA [/Separation /SpotA /DeviceGray 5 0 R] " +
+      "/SepB [/Separation /SpotB /DeviceRGB 6 0 R] >> >>"
+    val c = b(s"/SepA cs 0.5 scn /SepB cs 0.25 scn BT /F1 12 Tf ($esc) Tj ET")
+    val samples = Array[Byte](0, 0xff.toByte)
+    onePage(s"<< /Length ${c.length} >>", c, resources = res,
+      extra = bld => {
+        bld.stream(5, "<< /FunctionType 0 /Domain [0 1] /Range [0 1] /Size [2] " +
+          s"/BitsPerSample 8 /Length ${samples.length} >>", samples)
+        bld.obj(6, "<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] /C1 [1 1 1] /N 1 >>")
+      })
+  }
+
+  /** sIndexed: text around an Indexed-colorspace `sc`.
+    *  - in-range index: the palette entry resolves through the base space's
+    *    own range check -> both text runs extract;
+    *  - out-of-range / negative index, or an index beyond a SHORT lookup
+    *    table: "Outside range" abort with partial text
+    *    (colorspace.go:2229-2249);
+    *  - hival > 255 fails the colorspace LOAD, which fails the page
+    *    resources parse -> document error with NO text (page.go:879-907
+    *    eager resource colorspace map).
+    */
+  def sIndexed(after: String, scIndex: String, hival: Int = 2,
+               palette: String = "<FF000000FF000000FF>",
+               before: String = "partial"): Array[Byte] = {
+    val res = s"<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> " +
+      s"/ColorSpace << /Ix0 [/Indexed /DeviceRGB $hival $palette] >> >>"
+    val escA = new String(escapeStringText(after), ISO_8859_1)
+    val escB = new String(escapeStringText(before), ISO_8859_1)
+    val c = b(s"BT /F1 12 Tf ($escB) Tj ET /Ix0 cs $scIndex sc BT ($escA) Tj ET")
+    onePage(s"<< /Length ${c.length} >>", c, resources = res)
+  }
+
   /** Separation scn whose tint FAILS at evaluation time (kind selects how):
     * partial text before the scn + error status, matching the reference's
     * abort-with-partial-text contract.

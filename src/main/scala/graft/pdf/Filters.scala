@@ -564,7 +564,104 @@ object Filters {
     */
   object Dct extends PdfFilter {
     def name = "DCTDecode"
+
+    /** Clamp-shift from Go image/color.YCbCrToRGB (ycbcr.go): the fixed-point
+      * value is >>16 when in range, else saturates to 0x00/0xff via the sign
+      * trick — the exact conversion the reference inherits for YCCK.
+      */
+    private def clampShift(v: Int): Int =
+      if ((v & 0xff000000) == 0) (v >> 16) & 0xff else (~(v >> 31)) & 0xff
+
+    /** (SOF component count, Adobe APP14 transform or -1 when absent). */
+    private[pdf] def jpegMeta(data: Array[Byte]): (Int, Int) = {
+      var nComp = -1
+      var transform = -1
+      if (data.length < 4 || (data(0) & 0xff) != 0xff || (data(1) & 0xff) != 0xd8)
+        return (nComp, transform)
+      var i = 2
+      var done = false
+      while (!done && i + 4 <= data.length) {
+        if ((data(i) & 0xff) != 0xff) done = true
+        else {
+          val m = data(i + 1) & 0xff
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // bare markers
+          else {
+            val len = ((data(i + 2) & 0xff) << 8) | (data(i + 3) & 0xff)
+            if (m == 0xee && len >= 14 && i + 15 < data.length &&
+              data(i + 4) == 'A' && data(i + 5) == 'd' && data(i + 6) == 'o' &&
+              data(i + 7) == 'b' && data(i + 8) == 'e')
+              transform = data(i + 15) & 0xff
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc &&
+              len >= 8 && i + 9 < data.length)
+              nComp = data(i + 9) & 0xff
+            if (m == 0xda) done = true
+            i += 2 + len
+          }
+        }
+      }
+      (nComp, transform)
+    }
+
+    /** 4-component (CMYK/YCCK) JPEG decode via raw raster access — ImageIO's
+      * color-managed read() path has no CMYK target, so samples are read
+      * undecoded and the reference's color chain is applied by hand:
+      *  - Go scan.go applyBlack: 4-component JPEG WITHOUT Adobe APP14 is an
+      *    error; transform != 0 is YCCK (YCbCr -> RGB patched with K; the
+      *    RGB->CMY inversion cancels Adobe's stored inversion); transform 0
+      *    copies the decoded CMYK planes;
+      *  - unidoc then inverts EVERY output channel (encoding.go:992-1007
+      *    "255 - val", its APP14 TODO quirk) — mirrored here.
+      */
+    private def decodeCmyk(data: Array[Byte], transform: Int): Array[Byte] = {
+      if (transform < 0)
+        throw new PdfError("DCT decode failed: unknown color model: 4-component " +
+          "JPEG doesn't have Adobe APP14 metadata")
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      val raster =
+        try {
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(data)))
+          reader.readRaster(0, null)
+        } catch { case e: Exception => throw new PdfError(s"DCT decode failed: ${e.getMessage}") }
+        finally reader.dispose()
+      if (raster.getNumBands != 4) throw new PdfError("DCT decode failed: CMYK band count")
+      val w = raster.getWidth
+      val h = raster.getHeight
+      val out = new Array[Byte]((w.toLong * h * 4).toInt)
+      var idx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val s0 = raster.getSample(x, y, 0) & 0xff
+          val s1 = raster.getSample(x, y, 1) & 0xff
+          val s2 = raster.getSample(x, y, 2) & 0xff
+          val s3 = raster.getSample(x, y, 3) & 0xff
+          if (transform != 0) {
+            val yy1 = s0 * 0x10101
+            val cb1 = s1 - 128
+            val cr1 = s2 - 128
+            out(idx) = (255 - clampShift(yy1 + 91881 * cr1)).toByte
+            out(idx + 1) = (255 - clampShift(yy1 - 22554 * cb1 - 46802 * cr1)).toByte
+            out(idx + 2) = (255 - clampShift(yy1 + 116130 * cb1)).toByte
+            out(idx + 3) = (255 - s3).toByte
+          } else {
+            out(idx) = (255 - s0).toByte
+            out(idx + 1) = (255 - s1).toByte
+            out(idx + 2) = (255 - s2).toByte
+            out(idx + 3) = (255 - s3).toByte
+          }
+          idx += 4
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     def decodeBytes(data: Array[Byte]): Array[Byte] = {
+      val (nComp, transform) = jpegMeta(data)
+      if (nComp == 4) return decodeCmyk(data, transform)
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
         catch { case e: Exception => throw new PdfError(s"DCT decode failed: ${e.getMessage}") }

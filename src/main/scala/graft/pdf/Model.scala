@@ -20,7 +20,12 @@ final case class CsLab(range: Array[Double]) extends PdfColorspace { val numComp
 final case class CsICCBased(n: Int, alternate: Option[PdfColorspace]) extends PdfColorspace {
   val numComponents: Int = n
 }
-final case class CsIndexed(base: Option[PdfColorspace]) extends PdfColorspace { val numComponents = 1 }
+/** Indexed palette space (colorspace.go:2118-2249): carries the decoded
+  * lookup table so SC/SCN can range-check the palette index (an out-of-range
+  * index aborts extraction with partial text, colorspace.go:2229-2249).
+  */
+final case class CsIndexed(base: Option[PdfColorspace], hiVal: Int,
+                           lookup: Array[Byte]) extends PdfColorspace { val numComponents = 1 }
 final case class CsSeparation(alternate: Option[PdfColorspace],
                               tint: PdfFunction) extends PdfColorspace { val numComponents = 1 }
 final case class CsDeviceN(n: Int, alternate: Option[PdfColorspace],
@@ -103,8 +108,38 @@ object PdfColorspace {
               case "Pattern" =>
                 CsPattern
               case "Indexed" =>
-                if (arr.length < 4) throw new PdfError("Indexed colorspace invalid")
-                CsIndexed(Some(fromObject(arr(1), resolve)))
+                // colorspace.go:2139-2227: exactly 4 entries; base may not be
+                // Indexed/Pattern (checked by NAME before the base loads);
+                // hival must be a number <= 255; the lookup table is a string
+                // or stream and is trimmed to N*(hiVal+1) when long enough
+                // (short tables load with only a debug note).
+                if (arr.length != 4) throw new PdfError("Indexed CS: invalid array length")
+                val baseName = PdfObjs.traceToDirect(resolve(arr(1))) match {
+                  case PdfName(bn) => bn
+                  case ba: PdfArr if ba.length > 0 =>
+                    PdfObjs.traceToDirect(resolve(ba(0))) match {
+                      case PdfName(bn) => bn
+                      case _           => ""
+                    }
+                  case _ => ""
+                }
+                if (baseName == "Indexed" || baseName == "Pattern")
+                  throw new PdfError("Range check error")
+                val base = fromObject(arr(1), resolve)
+                val hiVal = PdfObjs.traceToDirect(resolve(arr(2))) match {
+                  case PdfInt(v)  => v
+                  case PdfReal(v) => v.toLong
+                  case _          => throw new PdfError("Indexed CS: invalid hival")
+                }
+                if (hiVal > 255) throw new PdfError("Indexed CS: Invalid hival")
+                val data = PdfObjs.traceToDirect(resolve(arr(3))) match {
+                  case s: PdfStr    => s.bytes
+                  case st: PdfStream => Filters.decodeStream(st, resolve)
+                  case _            => throw new PdfError("Indexed CS: Invalid table format")
+                }
+                val want = base.numComponents * (hiVal.toInt + 1)
+                val lookup = if (data.length < want) data else data.take(want)
+                CsIndexed(Some(base), hiVal.toInt, lookup)
               case "Separation" =>
                 // colorspace.go:2370-2426: exactly 4 entries; colorant name
                 // is NOT traced; the tint function loads (and validates) at

@@ -211,9 +211,19 @@ final class ContentProcessor(operations: Seq[ContentOp]) {
             case _ => throw new PdfError("ICC Based colorspace missing alternative")
           }
       }
-    case _: CsIndexed =>
+    case idx: CsIndexed =>
+      // colorspace.go:2229-2249: the palette INDEX is range-checked against
+      // the loaded lookup table; out-of-range aborts (partial text + error).
+      // In-range indices resolve through the table and the base space's own
+      // ColorFromFloats check.
       if (vals.length != 1) throw new PdfError("Range check")
-      vals
+      val base = idx.base.getOrElse(throw new PdfError("Indexed base not specified"))
+      val n = base.numComponents
+      val index = vals(0).toInt * n
+      if (index < 0 || index + n - 1 >= idx.lookup.length)
+        throw new PdfError("Outside range")
+      val floats = Array.tabulate(n)(i => (idx.lookup(index + i) & 0xff) / 255.0)
+      colorFromFloats(base, floats)
     case sep: CsSeparation =>
       if (vals.length != 1) throw new PdfError("Range check")
       val output = sep.tint.evaluate(vals)

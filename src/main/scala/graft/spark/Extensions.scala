@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,12 +18,12 @@ import graft.Extract
   *
   * A scalar Expression (not a Scala UDF): it evaluates directly on the
   * internal binary value with no Row encoding round-trip, is null-safe, and
-  * composes with any SQL/DataFrame plan. Evaluation is CodegenFallback —
-  * the kernel itself is a black-box JVM call, so splitting the surrounding
-  * expressions into codegen and calling through is the standard pattern
-  * (the whole-stage pipeline around it stays codegen'd).
+  * composes with any SQL/DataFrame plan. doGenCode emits a static call into
+  * the kernel (ExtractTextEval.evalBytes), so the expression participates in
+  * whole-stage codegen instead of forcing a CodegenFallback row into the
+  * plan — the surrounding pipeline stays fused.
   */
-case class ExtractTextExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ExtractTextExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ExtractTextExpr.schema
 
@@ -35,18 +35,30 @@ case class ExtractTextExpr(child: Expression) extends UnaryExpression with Codeg
         s"extract_text requires binary input, got ${child.dataType.catalogString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val r = Extract(input.asInstanceOf[Array[Byte]])
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractTextEval.evalBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.spark.ExtractTextEval.evalBytes($c);")
+
+  override def prettyName: String = "extract_text"
+  override protected def withNewChildInternal(newChild: Expression): ExtractTextExpr =
+    copy(child = newChild)
+}
+
+/** Static kernel entry for both interpreted eval and generated code (top-
+  * level object => static forwarder callable from janino-compiled Java).
+  */
+object ExtractTextEval {
+  def evalBytes(input: Array[Byte]): InternalRow = {
+    val r = Extract(input)
     InternalRow(
       UTF8String.fromString(r.text),
       UTF8String.fromString(r.status),
       UTF8String.fromString(r.error),
       r.spans.length)
   }
-
-  override def prettyName: String = "extract_text"
-  override protected def withNewChildInternal(newChild: Expression): ExtractTextExpr =
-    copy(child = newChild)
 }
 
 object ExtractTextExpr {

@@ -24,7 +24,7 @@ object PagesGen {
     * oracle checks, so ALL the families below (incl. crypt, CMap, repairs,
     * LZW/RLE, inline images) carry hard end-to-end evidence.
     */
-  val PdfVariants = 15
+  val PdfVariants = 18
 
   /** Deterministic payload for one document. */
   def payloadFor(docId: Long, text: String, variant: Int): Array[Byte] = variant match {
@@ -43,6 +43,9 @@ object PagesGen {
     case 12 => PdfFixtures.sEncryptedR6(text, docId)    // AESV3 V5/R6 crypt
     case 13 => PdfFixtures.sEncryptedObjstm(text, docId) // crypt x objstm x xref-stream
     case 14 => PdfFixtures.sAnnotated(text)             // annotation dispatch + popup
+    case 15 => PdfFixtures.sHybrid(text)                // hybrid xref (/XRefStm)
+    case 16 => PdfFixtures.sColorSpaces(text)           // Lab + CalRGB + Indexed
+    case 17 => PdfFixtures.sTints(text)                 // Type-0 + Type-2 tint fns
     case _  => PdfFixtures.htmlSimple(text)             // HTML branch
   }
 

@@ -153,6 +153,62 @@ class DocumentSpec extends AnyFunSuite {
     assert(r.error.contains("Unsupported colorspace"))
   }
 
+  test("Indexed colorspace: in-range palette index -> full text") {
+    val r = Extract(PdfFixtures.sIndexed("and after", scIndex = "1"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "partialand after")
+  }
+
+  test("Indexed colorspace: out-of-range index -> partial text + error") {
+    // index 7 * 3 components = 21 >= 9 palette bytes (colorspace.go:2236-2238)
+    val r = Extract(PdfFixtures.sIndexed("never", scIndex = "7"))
+    assert(r.status == "error")
+    assert(r.text == "partial")
+    assert(r.error.contains("Outside range"))
+  }
+
+  test("Indexed colorspace: negative index -> partial text + error") {
+    val r = Extract(PdfFixtures.sIndexed("never", scIndex = "-1"))
+    assert(r.status == "error")
+    assert(r.text == "partial")
+    assert(r.error.contains("Outside range"))
+  }
+
+  test("Indexed colorspace: short lookup table -> index past table aborts") {
+    // hival says 3 entries but the table holds 2 bytes; the reference loads
+    // it with a debug note and the range check catches the access
+    // (colorspace.go:2216-2222 + 2236-2238).
+    val r = Extract(PdfFixtures.sIndexed("never", scIndex = "0", palette = "<FFFF>"))
+    assert(r.status == "error")
+    assert(r.text == "partial")
+    assert(r.error.contains("Outside range"))
+  }
+
+  test("Indexed colorspace: hival > 255 fails the page load (no text)") {
+    val r = Extract(PdfFixtures.sIndexed("never", scIndex = "0", hival = 300))
+    assert(r.status == "error")
+    assert(r.text == "")
+    assert(r.error.contains("Invalid hival"))
+  }
+
+  test("hybrid xref (/XRefStm): content object resolvable only via the stream") {
+    val r = Extract(PdfFixtures.sHybrid("hybrid body"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "hybrid body")
+  }
+
+  test("Lab + CalRGB + Indexed colorspace ops before text") {
+    val r = Extract(PdfFixtures.sColorSpaces("colored text"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "colored text")
+  }
+
+  test("Type-0 sampled + Type-2 exponential tint transforms before text") {
+    val r = Extract(PdfFixtures.sTints("tinted text"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "tinted text")
+  }
+
   test("s17 oversize doc -> skipped_oversize") {
     val r = Extract(PdfFixtures.s01("x"), maxBytesPerDoc = 10)
     assert(r.status == "skipped_oversize")

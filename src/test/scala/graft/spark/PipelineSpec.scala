@@ -123,6 +123,31 @@ class PipelineSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT extract_text('not binary at all')").collect())
   }
 
+  test("extract_text participates in codegen (no CodegenFallback row)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    GraftFunctions.register(spark)
+    PagesGen.smokeTable(spark).createOrReplaceTempView("pages_smoke_cg")
+    val df = spark.sql(
+      "SELECT extract_text(html).text AS t FROM pages_smoke_cg WHERE url = 'https://t/ok-pdf'")
+    // The expression itself must not be a fallback...
+    val exprs = df.queryExecution.analyzed.expressions
+      .flatMap(_.collect { case e: ExtractTextExpr => e })
+    assert(exprs.nonEmpty)
+    assert(!exprs.exists(_.isInstanceOf[CodegenFallback]))
+    // ...and the generated code must actually COMPILE: CODEGEN_ONLY makes
+    // janino failures throw instead of silently falling back to interpreted.
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val rows = df.collect()
+      assert(rows.head.getString(0) == "Hello World")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("entry() flagship returns rows on sf0.001") {
     val df = graft.SparkEntry.entry(spark)
     val n = df.count()
