@@ -196,9 +196,9 @@ object Bench {
     val measureSet = if (pinned) pinSet else Set.empty[Int]
     val repsLo = scala.collection.mutable.ArrayBuffer.empty[Rep]
     val repsMid = scala.collection.mutable.ArrayBuffer.empty[Rep]
-    val targetClean = 4
-    val minRounds = 4
-    val maxRounds = 12
+    val targetClean = 5
+    val minRounds = 6
+    val maxRounds = 14
     var round = 0
     while (round < maxRounds &&
       (round < minRounds ||
@@ -215,7 +215,8 @@ object Bench {
 
     // ---- saturation level (hi) needs every core: unpin ----
     if (pinned) setAffinity(s"0-${cpus - 1}")
-    extractionPass(spark, pages4N, hi) // re-warm at full width
+    extractionPass(spark, pages4N, hi) // re-warm at full width (x2: the
+    extractionPass(spark, pages4N, hi) // first unpinned pass still re-JITs)
     val repsHi = scala.collection.mutable.ArrayBuffer.empty[Rep]
     var hiRound = 0
     while (hiRound < 8 && (hiRound < 4 || repsHi.count(_.clean) < 3)) {

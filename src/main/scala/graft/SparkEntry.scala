@@ -384,6 +384,46 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "x36_embed_neardup" -> ((s, dir) => {
+      // Embedding near-dup core (shared LSH bucket -> exact scoring) as an
+      // integer-exact per-vector gate: for every vector, the count of
+      // same-bucket peers and the max QUANTIZED dot among them (0 when the
+      // bucket is a singleton). Mirrors embeddingNearDupPairs' single-round
+      // path with oracle-safe arithmetic.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val bits = Similarity.bitsFor(emb.count())
+      val b = Similarity.withLshBucket(emb, bits = bits)
+        .select(col("vec_id"), col("lsh_bucket"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("qv"))
+      val l = b.select(col("vec_id"), col("lsh_bucket"), col("qv"))
+      val r = b.select(col("vec_id").as("rvid"), col("lsh_bucket"), col("qv").as("rqv"))
+      val stats = l.join(r, Seq("lsh_bucket"))
+        .filter(col("vec_id") =!= col("rvid"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qv, rqv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_peers"), max("dot").as("max_dot"))
+      emb.select("vec_id").join(stats, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("n_peers"), lit(0L)).as("n_peers"),
+          coalesce(col("max_dot"), lit(0L)).as("max_dot"))
+        .orderBy("vec_id")
+    }),
+    "x37_stream_windows" -> ((s, dir) => {
+      // Watermarked tumbling-window counts through the streaming gate:
+      // events -> readStream -> 1h watermark + 1h windows -> Append ->
+      // AvailableNow -> parquet. Append emits exactly the windows whose end
+      // is at or below the FINAL watermark (max ts - 1h) — a deterministic
+      // SQL-stateable set since the whole input fits one microbatch (file
+      // source with no maxFilesPerTrigger) so no row can be late-dropped.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x37").toString
+      s.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/in")
+      graft.streaming.StreamingOps.windowedCounts(s, s"$tmp/in", s"$tmp/ck", s"$tmp/out")
+      s.read.parquet(s"$tmp/out")
+        .select(unix_timestamp(col("win_start")).cast("long").as("win_epoch"),
+          col("event_type"), col("n"))
+        .orderBy("win_epoch", "event_type")
+    }),
+
     // ----------------------------------------- SQL surface (Catalyst expr)
     "x21_extract_sql" -> ((s, dir) => {
       // The native extract_text Expression through plain SQL; same oracle as
@@ -691,6 +731,24 @@ object SparkEntry {
     "x35_stream_dedup" ->
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM " +
         "(SELECT DISTINCT user_id, ts FROM events) GROUP BY 1 ORDER BY 1"),
+    "x36_embed_neardup" ->
+      ("WITH " + lshSigSql + ", " +
+        "e2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings), " +
+        "p AS (SELECT sa.vec_id AS va, " +
+        "CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)])) AS BIGINT) AS dot " +
+        "FROM sig sa JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id <> sb.vec_id " +
+        "JOIN e2 a ON a.vec_id = sa.vec_id JOIN e2 b ON b.vec_id = sb.vec_id), " +
+        "ag AS (SELECT va, CAST(count(*) AS BIGINT) AS n, max(dot) AS m FROM p GROUP BY 1) " +
+        "SELECT e.vec_id, CAST(coalesce(ag.n, 0) AS BIGINT) AS n_peers, " +
+        "CAST(coalesce(ag.m, 0) AS BIGINT) AS max_dot " +
+        "FROM embeddings e LEFT JOIN ag ON ag.va = e.vec_id ORDER BY e.vec_id"),
+    "x37_stream_windows" ->
+      // Append-mode emission: windows with end <= final watermark
+      // (max ts - 1h); 1h tumbling windows epoch-aligned = date_trunc.
+      ("WITH w AS (SELECT date_trunc('hour', ts) AS ws, event_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY 1, 2), m AS (SELECT max(ts) AS mx FROM events) " +
+        "SELECT CAST(epoch(ws) AS BIGINT) AS win_epoch, event_type, n FROM w, m " +
+        "WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR ORDER BY 1, 2"),
     "q09_ann_topk" ->
       ("WITH mn AS (SELECT min(vec_id) AS mid FROM embeddings), " +
         "q AS (SELECT embedding AS qe FROM embeddings, mn WHERE vec_id = mid) " +
