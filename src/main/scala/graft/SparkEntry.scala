@@ -499,9 +499,10 @@ object SparkEntry {
   }
 
   /** Integer-exact IVF CTEs (mirror Similarity.ivfTopKQuant, nLists=16,
-    * nProbe=4): quantized vectors, initial centroids = the 16 lowest
-    * vec_ids, one floorDiv Lloyd step (empty cells keep their initial
-    * centroid), squared-L2 assignment with lowest-index tie-break. All
+    * nProbe=4): quantized vectors, initial centroids = the 16 vec_ids with
+    * the lowest (signed fnv1a64(vec_id), vec_id) — a deterministic
+    * hash-ordered sample, one floorDiv Lloyd step (empty cells keep their
+    * initial centroid), squared-L2 assignment with lowest-index tie-break. All
     * BIGINT arithmetic — floorDiv(s, c) is spelled (s - ((s%c)+c)%c) // c,
     * exact because the numerator is divisible. range(1,257)+WHERE bounds
     * the dim unnest (range() table function can't take lateral args).
@@ -511,8 +512,9 @@ object SparkEntry {
       s"list_sum(list_transform(range(1, len($v) + 1), i -> " +
         s"($v[CAST(i AS INT)] - $c[CAST(i AS INT)]) * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])))"
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings), " +
-      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS ci, qv AS ce " +
-      "FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16) t), " +
+      s"eh AS (SELECT vec_id, qv, ${toSignedSql(fnvSql("CAST(vec_id AS VARCHAR)"))} AS h FROM e), " +
+      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS ci, qv AS ce " +
+      "FROM (SELECT vec_id, qv, h FROM eh ORDER BY h, vec_id LIMIT 16) t), " +
       s"d0 AS (SELECT a.vec_id, c.ci, ${l2("a.qv", "c.ce")} AS dist FROM e a, c0 c), " +
       "a0 AS (SELECT vec_id, ci FROM (SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM d0) WHERE rn = 1), " +
       "sums AS (SELECT a.ci, r.i AS i, CAST(sum(x.qv[CAST(r.i AS INT)]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c " +

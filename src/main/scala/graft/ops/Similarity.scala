@@ -281,8 +281,10 @@ object Similarity {
     * exact integer arithmetic, so a plain-SQL oracle reproduces the whole
     * pipeline bit-for-bit:
     *  - vectors quantize as q_d = round(v_d * 1000) (BIGINT);
-    *  - initial centroids = quantized embeddings of the `nLists` LOWEST
-    *    vec_ids (fixed, data-derived seed);
+    *  - initial centroids = quantized embeddings of the `nLists` vec_ids
+    *    with the LOWEST fnv1a64(vec_id) — a deterministic hash-ordered
+    *    sample, so id-clustered corpora (ids assigned by crawl order, say)
+    *    still seed across the whole distribution;
     *  - exactly ONE Lloyd step: assign each vector to its nearest centroid
     *    by integer squared-L2 (tie -> lowest centroid index), then recompute
     *    each centroid as the per-dimension floorDiv(sum, count) of its cell
@@ -316,8 +318,12 @@ object Similarity {
       bestIdx
     }
 
-    // Initial centroids: the nLists lowest vec_ids (quantizer params — tiny).
-    val c0: Array[Array[Long]] = quant.orderBy("vid").limit(nLists)
+    // Initial centroids: nLists lowest by (fnv1a64(vid), vid) — a fixed
+    // hash-ordered sample (quantizer params — tiny collect).
+    val fnvUdf = udf((id: Long) => TextOps.fnv1a64(id.toString))
+    val c0: Array[Array[Long]] = quant
+      .withColumn("__h", fnvUdf(col("vid")))
+      .orderBy(col("__h"), col("vid")).limit(nLists)
       .collect().map(_.getSeq[Long](1).toArray)
     val dims = c0(0).length
     // One Lloyd step: per-cell per-dim integer sums + counts (nLists x dims

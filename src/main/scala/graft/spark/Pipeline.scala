@@ -94,22 +94,32 @@ object Pipeline {
           error = r.error,
           partition_id = pid)
       }
-      // Wrap to flush lineage once the partition is fully consumed.
-      new Iterator[ExtractedRow] {
+      // Lineage flush: once on exhaustion (accurate wall clock) and, as a
+      // safety net, on task completion — a downstream limit() that stops
+      // consuming early would otherwise never reach the exhaustion path.
+      // Completion listeners run before the task reports, so accumulator
+      // updates made there still count exactly once per successful task.
+      final class LineageIterator extends Iterator[ExtractedRow] {
         def hasNext: Boolean = {
           val h = out.hasNext
-          if (!h && lineageAcc != null && inputRows >= 0) flush()
+          if (!h) flush()
           h
         }
         def next(): ExtractedRow = out.next()
-        private var flushed = false
-        private def flush(): Unit = if (!flushed) {
+        @volatile private var flushed = false
+        def flush(): Unit = if (!flushed && lineageAcc != null) {
           flushed = true
           lineageAcc.add(LineageRow(runId, pid, inputRows, okRows, errRows,
             bytesIn, bytesOut, System.currentTimeMillis() - startedAt,
             startedAt, System.currentTimeMillis()))
         }
       }
+      val wrapped = new LineageIterator
+      if (lineageAcc != null) {
+        val tc = TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => wrapped.flush())
+      }
+      wrapped
     }
   }
 

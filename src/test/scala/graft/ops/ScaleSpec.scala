@@ -127,6 +127,36 @@ class ScaleSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("deterministic IVF (ivfTopKQuant) recall@10 >= 0.9 vs quantized brute force") {
+    import spark.implicits._
+    val rnd = new java.util.Random(13)
+    val dims = 32
+    val centers = Array.fill(40, dims)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 8000).map { i =>
+      val c = centers(i / 200)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartition(16).cache()
+    val queries = Seq(0L, 4000L, 7999L)
+    val brute = Similarity.bruteForceTopKQuant(spark, emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ivf = Similarity.ivfTopKQuant(spark, emb, queries, k = 10, nLists = 40, nProbe = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = queries.map { q =>
+      val b = brute.getOrElse(q, Set.empty)
+      b.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / math.max(1, b.size)
+    }
+    assert(recalls.sum / recalls.size >= 0.9, s"ivfTopKQuant recall: $recalls")
+    // Determinism: same input -> identical result set (fixed seed centroids).
+    val again = Similarity.ivfTopKQuant(spark, emb, queries, k = 10, nLists = 40, nProbe = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(again == ivf)
+    emb.unpersist()
+  }
+
   test("winnowing fingerprints: shared substrings >= k+w-1 chars share a fingerprint") {
     val a = "completely different prefix THE COMMON SHARED SEGMENT HERE and tail one"
     val b = "another unrelated beginning THE COMMON SHARED SEGMENT HERE plus other end"

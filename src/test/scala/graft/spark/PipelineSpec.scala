@@ -49,6 +49,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(lineage.map(_.bytes_out).sum == out.map(_.text_bytes.length.toLong).sum)
   }
 
+  test("lineage flushes even when a downstream limit() stops consuming early") {
+    import scala.jdk.CollectionConverters._
+    val acc = spark.sparkContext.collectionAccumulator[LineageRow]("lin-early")
+    val pages = PagesGen.smokeTable(spark)
+    val got = Pipeline.extract(spark, pages, "t1c", lineageAcc = acc)
+      .limit(1).collect()
+    assert(got.length == 1)
+    // The task-completion listener flushes each launched task's lineage row
+    // even though the iterator was never exhausted.
+    assert(acc.value.asScala.nonEmpty)
+    assert(acc.value.asScala.map(_.input_rows).sum >= 1)
+  }
+
   test("t3 kill/resume: killed job restarts from last committed snapshot, no dups/missing") {
     import spark.implicits._
     val docs = (0 until 200).map { i =>
