@@ -490,6 +490,51 @@ object PdfFixtures {
     out.toByteArray
   }
 
+  /** sIncremental: INCREMENTAL-UPDATE file (/Prev chain) — revision 1 holds
+    * the full document with STALE content; revision 2 appends a replacement
+    * content object and an update xref table whose trailer /Prev points at
+    * revision 1's xref. Extraction must return the NEW text: the newest
+    * table is parsed first and older /Prev entries must not override it
+    * (parser.go xref precedence; Document.loadXrefs Prev walk).
+    */
+  def sIncremental(text: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(b("%PDF-1.4\n%âãÏÓ\n"))
+    def direct(num: Int, src: String): Long = {
+      val o = out.size().toLong
+      out.write(b(s"$num 0 obj\n$src\nendobj\n"))
+      o
+    }
+    def streamObj(num: Int, content: Array[Byte]): Long = {
+      val o = out.size().toLong
+      out.write(b(s"$num 0 obj\n<< /Length ${content.length} >>\nstream\n"))
+      out.write(content)
+      out.write(b("\nendstream\nendobj\n"))
+      o
+    }
+    // ---- revision 1 (stale content) ----
+    val off1 = direct(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    val off2 = direct(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    val off3 = direct(3, s"<< /Type /Page /Parent 2 0 R /Resources $defaultResources /Contents 4 0 R >>")
+    val off4a = streamObj(4, contentFor("stale revision-1 content"))
+    val xref1 = out.size().toLong
+    out.write(b("xref\n0 5\n"))
+    out.write(b(f"${0}%010d ${65535}%05d f \n"))
+    for (off <- Seq(off1, off2, off3, off4a)) out.write(b(f"$off%010d ${0}%05d n \n"))
+    out.write(b("trailer\n<< /Root 1 0 R /Size 5 >>\n"))
+    out.write(b(s"startxref\n$xref1\n%%EOF\n"))
+    // ---- revision 2 (appended update: object 4 replaced) ----
+    val off4b = streamObj(4, contentFor(text))
+    val xref2 = out.size().toLong
+    out.write(b("xref\n0 1\n"))
+    out.write(b(f"${0}%010d ${65535}%05d f \n"))
+    out.write(b("4 1\n"))
+    out.write(b(f"$off4b%010d ${0}%05d n \n"))
+    out.write(b(s"trailer\n<< /Root 1 0 R /Size 5 /Prev $xref1 >>\n"))
+    out.write(b(s"startxref\n$xref2\n%%EOF\n"))
+    out.toByteArray
+  }
+
   /** sColorSpaces: Lab (resource, with /Range) `sc` + CalRGB (builtin name)
     * `SC` + in-range Indexed `sc` ahead of the text — the colorspace
     * families that were previously pinned only by unit tests, through the

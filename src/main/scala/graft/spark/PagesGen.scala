@@ -24,7 +24,7 @@ object PagesGen {
     * oracle checks, so ALL the families below (incl. crypt, CMap, repairs,
     * LZW/RLE, inline images) carry hard end-to-end evidence.
     */
-  val PdfVariants = 18
+  val PdfVariants = 19
 
   /** Deterministic payload for one document. */
   def payloadFor(docId: Long, text: String, variant: Int): Array[Byte] = variant match {
@@ -46,6 +46,7 @@ object PagesGen {
     case 15 => PdfFixtures.sHybrid(text)                // hybrid xref (/XRefStm)
     case 16 => PdfFixtures.sColorSpaces(text)           // Lab + CalRGB + Indexed
     case 17 => PdfFixtures.sTints(text)                 // Type-0 + Type-2 tint fns
+    case 18 => PdfFixtures.sIncremental(text)           // incremental update (/Prev)
     case _  => PdfFixtures.htmlSimple(text)             // HTML branch
   }
 

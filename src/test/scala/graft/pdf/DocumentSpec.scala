@@ -191,6 +191,12 @@ class DocumentSpec extends AnyFunSuite {
     assert(r.error.contains("Invalid hival"))
   }
 
+  test("incremental update (/Prev chain): latest revision's object wins") {
+    val r = Extract(PdfFixtures.sIncremental("fresh revision-2 text"))
+    assert(r.status == "ok", r.error)
+    assert(r.text == "fresh revision-2 text")
+  }
+
   test("hybrid xref (/XRefStm): content object resolvable only via the stream") {
     val r = Extract(PdfFixtures.sHybrid("hybrid body"))
     assert(r.status == "ok", r.error)
