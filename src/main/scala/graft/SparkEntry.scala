@@ -356,6 +356,14 @@ object SparkEntry {
           col("un").cast("long").as("un"))
         .orderBy("a", "b")
     }),
+    "x38_char_ngrams" -> ((s, dir) => {
+      // n-gram analysis family through the gate: exact distinct lowercase
+      // char-5-gram cardinality per doc (the set size its Jaccard uses),
+      // computed as codegen'd SQL on both engines — no UDF, no hashing.
+      Dedup.withCharNgramCount(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_5grams").cast("long").as("n_5grams"))
+        .orderBy("doc_id")
+    }),
     "x26_simhash_pairs" -> ((s, dir) => {
       // Exact hamming<=3 pairs (pigeonhole block-combo scheme); oracle is
       // all-pairs bit_count(xor) over the FNV-based simhashes in DuckDB.
@@ -731,6 +739,11 @@ object SparkEntry {
         "CAST(5 + (8 + doc_id % 24) * (8 + (doc_id // 7) % 16) AS BIGINT) AS n_bytes " +
         "FROM documents ORDER BY doc_id"),
     "x29_ann_ivf" -> ivfSql,
+    "x38_char_ngrams" ->
+      ("SELECT doc_id, CAST(CASE WHEN length(lower(text)) < 5 THEN 0 " +
+        "ELSE len(list_distinct(list_transform(range(1, length(lower(text)) - 3), " +
+        "i -> substring(lower(text), CAST(i AS INT), 5)))) END AS BIGINT) AS n_5grams " +
+        "FROM documents ORDER BY doc_id"),
     "x35_stream_dedup" ->
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM " +
         "(SELECT DISTINCT user_id, ts FROM events) GROUP BY 1 ORDER BY 1"),

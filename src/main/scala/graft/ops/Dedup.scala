@@ -356,6 +356,22 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram jaccard
 
+  /** Distinct lowercase character n-gram count per document — the set
+    * cardinality n-gram Jaccard is computed from, as a pure codegen'd SQL
+    * expression (no UDF, no hashing) so the arithmetic mirrors exactly in an
+    * ANSI oracle. Adds `n_<n>grams` (int).
+    */
+  def withCharNgramCount(docs: DataFrame, textCol: String = "text",
+                         n: Int = 5): DataFrame = {
+    // sequence(1, k) with k < 1 DESCENDS in Spark — guard short docs.
+    val cnt =
+      s"""CASE WHEN length(lower($textCol)) < $n THEN 0
+         |ELSE size(array_distinct(transform(
+         |  sequence(1, length(lower($textCol)) - ${n - 1}),
+         |  i -> substring(lower($textCol), i, $n)))) END""".stripMargin
+    docs.withColumn(s"n_${n}grams", expr(cnt))
+  }
+
   /** Character n-gram set Jaccard (exact) — the verification metric for the
     * LSH candidates, also exposed standalone.
     */

@@ -50,6 +50,20 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.hamming64(Dedup.simhash64(base), Dedup.simhash64(unrelated)) > 10)
   }
 
+  test("withCharNgramCount matches the hand-computed distinct 5-gram set") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefg"),          // 3 distinct 5-grams
+      (2L, "aaaaaaaa"),         // 1 distinct
+      (3L, "abc"),              // shorter than n -> 0
+      (4L, ""),                 // empty -> 0
+      (5L, "AbCdEfG")           // case-folds to doc 1's set
+    ).toDF("doc_id", "text")
+    val got = Dedup.withCharNgramCount(docs).select("doc_id", "n_5grams")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 3))
+  }
+
   test("ngram jaccard verification") {
     assert(Dedup.exactJaccard(base, base) == 1.0)
     val pairs = Dedup.ngramJaccardPairs(
