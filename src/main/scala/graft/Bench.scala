@@ -188,6 +188,9 @@ object Bench {
     // measured configuration; the pin set (8 cpus) leaves the lo level far
     // under-subscribed and gives the mid level exactly its own cores —
     // the single-box proxy for executors that bring their own hardware.
+    // Capture the REAL online width before pinning (availableProcessors
+    // reflects sched_getaffinity, so it must be read pre-pin).
+    val onlineCpus = Runtime.getRuntime.availableProcessors()
     val pinSet = (0 until math.min(8, cpus)).toSet
     val pinned = setAffinity(pinSet.toSeq.sorted.mkString(","))
     System.err.println(s"[bench] scaling pair pinned to cpus 0-${pinSet.max}: $pinned")
@@ -214,7 +217,11 @@ object Bench {
     val tMid = best(repsMid.toSeq)
 
     // ---- saturation level (hi) needs every core: unpin ----
-    if (pinned) setAffinity(s"0-${cpus - 1}")
+    // Restore to the pre-pin online set (NOT the env cpu count — an env
+    // value above the online width would make taskset fail and the hi reps
+    // would silently run 8-wide). A failed unpin is surfaced in the JSON.
+    val unpinned = !pinned || setAffinity(s"0-${onlineCpus - 1}")
+    if (!unpinned) System.err.println("[bench] WARNING: unpin failed; hi-level reps still pinned")
     extractionPass(spark, pages4N, hi) // re-warm at full width (x2: the
     extractionPass(spark, pages4N, hi) // first unpinned pass still re-JITs)
     val repsHi = scala.collection.mutable.ArrayBuffer.empty[Rep]
@@ -265,7 +272,7 @@ object Bench {
       reps.map(r => s"""{"wall":${"%.3f".format(r.wall)},"steal":${"%.3f".format(r.steal)},"clean":${r.clean}}""")
         .mkString("[", ",", "]")
     val meta =
-      s""""pinned":$pinned,"clean_reps":[${repsLo.count(_.clean)},${repsMid.count(_.clean)},${repsHi.count(_.clean)}],"reps_lo":${repJson(repsLo.toSeq)},"reps_mid":${repJson(repsMid.toSeq)},"reps_hi":${repJson(repsHi.toSeq)}"""
+      s""""pinned":$pinned,"unpinned":$unpinned,"clean_reps":[${repsLo.count(_.clean)},${repsMid.count(_.clean)},${repsHi.count(_.clean)}],"reps_lo":${repJson(repsLo.toSeq)},"reps_mid":${repJson(repsMid.toSeq)},"reps_hi":${repJson(repsHi.toSeq)}"""
     println(
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".format(tHi)},"docs_per_sec":${"%.1f".format(tpHi)},"docs_per_sec_per_core":${"%.1f".format(tpHi / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".format(tpLo)},${"%.1f".format(tpMid)},${"%.1f".format(tpHi)}],"efficiency_n_to_4n":${"%.3f".format(eff28)},"efficiency_saturated":${"%.3f".format(eff832)},"efficiency":${"%.3f".format(eff28)},$meta}}""")
     spark.stop()

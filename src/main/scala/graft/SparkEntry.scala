@@ -18,6 +18,24 @@ import graft.spark.{PagesGen, Pipeline}
   */
 object SparkEntry {
 
+  /** Scratch dir for the streaming gate queries: RAM-backed when available,
+    * recursively deleted on JVM exit (repeated verification runs must not
+    * accumulate event-table copies in /tmp).
+    */
+  private def scratchDir(prefix: String): String = {
+    val base = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
+    val dir = java.nio.file.Files.createTempDirectory(base, prefix).toString
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
   /** Flagship: the full extraction pipeline (dedup -> salted mapPartitions
     * kernel) over a mixed PDF/HTML corpus synthesized from sf0.001.
     */
@@ -382,7 +400,7 @@ object SparkEntry {
       // source batches -> the result is exactly SELECT DISTINCT (user_id,
       // ts), which the SQL oracle states directly. (Production keeps a
       // churn-window watermark; the gate pins the exact-equivalence corner.)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-x35").toString
+      val tmp = scratchDir("graft-x35")
       val events = s.read.parquet(s"$dir/events.parquet")
       events.unionByName(events.filter(col("event_id") % 5 === 0))
         .write.parquet(s"$tmp/in")
@@ -424,7 +442,7 @@ object SparkEntry {
       // is at or below the FINAL watermark (max ts - 1h) — a deterministic
       // SQL-stateable set since the whole input fits one microbatch (file
       // source with no maxFilesPerTrigger) so no row can be late-dropped.
-      val tmp = java.nio.file.Files.createTempDirectory("graft-x37").toString
+      val tmp = scratchDir("graft-x37")
       s.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/in")
       graft.streaming.StreamingOps.windowedCounts(s, s"$tmp/in", s"$tmp/ck", s"$tmp/out")
       s.read.parquet(s"$tmp/out")

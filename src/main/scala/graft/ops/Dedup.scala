@@ -363,13 +363,18 @@ object Dedup {
     */
   def withCharNgramCount(docs: DataFrame, textCol: String = "text",
                          n: Int = 5): DataFrame = {
+    // lower() is hoisted into its own projected column: a reference inside
+    // the transform lambda would re-lowercase the WHOLE string once per
+    // n-gram element (higher-order-function lambdas get no CSE) — O(len^2).
     // sequence(1, k) with k < 1 DESCENDS in Spark — guard short docs.
     val cnt =
-      s"""CASE WHEN length(lower($textCol)) < $n THEN 0
+      s"""CASE WHEN length(__lt) < $n THEN 0
          |ELSE size(array_distinct(transform(
-         |  sequence(1, length(lower($textCol)) - ${n - 1}),
-         |  i -> substring(lower($textCol), i, $n)))) END""".stripMargin
-    docs.withColumn(s"n_${n}grams", expr(cnt))
+         |  sequence(1, length(__lt) - ${n - 1}),
+         |  i -> substring(__lt, i, $n)))) END""".stripMargin
+    docs.withColumn("__lt", lower(col(textCol)))
+      .withColumn(s"n_${n}grams", expr(cnt))
+      .drop("__lt")
   }
 
   /** Character n-gram set Jaccard (exact) — the verification metric for the

@@ -300,8 +300,11 @@ object Similarity {
                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val quant = embeddings.select(col(idCol).as("vid"),
-      expr(s"transform($embCol, x -> cast(round(cast(x as double) * 1000) as bigint))").as("qv"))
+    // Alias the embedding column to a fixed name before any expr() uses it
+    // (raw string interpolation of arbitrary column names is unsafe).
+    val quant = embeddings.select(col(idCol).as("vid"), col(embCol).as("__emb"))
+      .select(col("vid"),
+        expr("transform(__emb, x -> cast(round(cast(x as double) * 1000) as bigint))").as("qv"))
 
     def nearest(cents: Array[Array[Long]]) = udf { (q: Seq[Long]) =>
       var bestIdx = 0
@@ -319,12 +322,18 @@ object Similarity {
     }
 
     // Initial centroids: nLists lowest by (fnv1a64(vid), vid) — a fixed
-    // hash-ordered sample (quantizer params — tiny collect).
+    // hash-ordered sample (quantizer params — tiny collect). A corpus with
+    // fewer than nLists rows simply seeds one cell per row (the SQL mirror's
+    // LIMIT adapts identically); an empty corpus returns an empty result.
     val fnvUdf = udf((id: Long) => TextOps.fnv1a64(id.toString))
     val c0: Array[Array[Long]] = quant
       .withColumn("__h", fnvUdf(col("vid")))
       .orderBy(col("__h"), col("vid")).limit(nLists)
       .collect().map(_.getSeq[Long](1).toArray)
+    if (c0.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long, Int)]
+        .toDF("query_id", "neighbor_id", "dot", "rank")
+    val lists = c0.length
     val dims = c0(0).length
     // One Lloyd step: per-cell per-dim integer sums + counts (nLists x dims
     // rows after a map-side-combined agg), then floorDiv centroids.
@@ -334,7 +343,7 @@ object Similarity {
       .groupBy("c0").agg(aggCols.head, aggCols.tail: _*)
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), Array.tabulate(dims)(d => r.getLong(d + 2)))).toMap
-    val c1: Array[Array[Long]] = Array.tabulate(nLists) { ci =>
+    val c1: Array[Array[Long]] = Array.tabulate(lists) { ci =>
       cellStats.get(ci) match {
         case Some((cnt, sums)) => sums.map(s => Math.floorDiv(s, cnt))
         case None => c0(ci) // empty cell keeps its initial centroid

@@ -582,6 +582,10 @@ object Filters {
       var done = false
       while (!done && i + 4 <= data.length) {
         if ((data(i) & 0xff) != 0xff) done = true
+        // JPEG permits any number of 0xFF fill bytes before a marker
+        // (Go's image/jpeg skips them too) — 0xFF 0xFF is padding, not a
+        // marker, and must not be parsed as one.
+        else if ((data(i + 1) & 0xff) == 0xff) i += 1
         else {
           val m = data(i + 1) & 0xff
           if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // bare markers
@@ -617,13 +621,21 @@ object Filters {
         throw new PdfError("DCT decode failed: unknown color model: 4-component " +
           "JPEG doesn't have Adobe APP14 metadata")
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      // NB the ImageInputStream must be closed explicitly: with the default
+      // useCache=true it is file-backed, and reader.dispose() does NOT close
+      // it — leaking an fd + temp file per image in the extraction hot path.
+      var iis: javax.imageio.stream.ImageInputStream = null
       val raster =
         try {
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(data)))
+          iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(data))
+          reader.setInput(iis)
           reader.readRaster(0, null)
         } catch { case e: Exception => throw new PdfError(s"DCT decode failed: ${e.getMessage}") }
-        finally reader.dispose()
+        finally {
+          reader.dispose()
+          if (iis != null) try iis.close() catch { case _: Exception => () }
+        }
       if (raster.getNumBands != 4) throw new PdfError("DCT decode failed: CMYK band count")
       val w = raster.getWidth
       val h = raster.getHeight
