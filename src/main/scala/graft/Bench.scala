@@ -99,8 +99,10 @@ object Bench {
     val w = timed(f)
     val s1 = stealSeconds(cpuSet)
     val stolen = s1 - s0
-    // Dirty when stolen cpu-seconds exceed 5% of the rep's active cpu-time.
-    Rep(w, stolen, stolen < 0.05 * w * activeTasks)
+    // Dirty when stolen cpu-seconds exceed 5% of the rep's active cpu-time,
+    // capped at 1 cpu-second absolute: the percentage scales with the wall
+    // time, and a heavily-stolen rep inflates its own allowance otherwise.
+    Rep(w, stolen, stolen < math.min(0.05 * w * activeTasks, 1.0))
   }
 
   /** min over clean reps, else min over all (steal only ever adds time). */
