@@ -50,7 +50,46 @@ object HtmlExtract {
   }
 
   def extract(bytes: Array[Byte]): HtmlResult =
-    extract(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) // lossy by default
+    extract(decodeBytes(bytes))
+
+  /** Charset-sniffing decode for Common-Crawl-style pages: BOM first, then a
+    * `charset=` declaration (meta http-equiv / meta charset / XML prolog) in
+    * the first 1024 bytes — the HTML5 prescan window — else lossy UTF-8.
+    * Unknown/unsupported charset names fall back to lossy UTF-8 too (a wrong
+    * decode must never fail the document).
+    */
+  private[graft] def decodeBytes(bytes: Array[Byte]): String = {
+    import java.nio.charset.{Charset, StandardCharsets}
+    if (bytes.length >= 3 && bytes(0) == 0xef.toByte && bytes(1) == 0xbb.toByte &&
+      bytes(2) == 0xbf.toByte)
+      return new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
+    if (bytes.length >= 2 && bytes(0) == 0xfe.toByte && bytes(1) == 0xff.toByte)
+      return new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
+    if (bytes.length >= 2 && bytes(0) == 0xff.toByte && bytes(1) == 0xfe.toByte)
+      return new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16LE)
+    // ASCII-compatible prescan of the head for charset=...
+    val window = new String(bytes, 0, math.min(1024, bytes.length),
+      StandardCharsets.ISO_8859_1).toLowerCase
+    val idx = window.indexOf("charset=")
+    val cs: Charset =
+      if (idx < 0) StandardCharsets.UTF_8
+      else {
+        var k = idx + 8
+        if (k < window.length && (window.charAt(k) == '"' || window.charAt(k) == '\'')) k += 1
+        val start = k
+        while (k < window.length && (window.charAt(k).isLetterOrDigit ||
+          window.charAt(k) == '-' || window.charAt(k) == '_' || window.charAt(k) == '.')) k += 1
+        val name = window.substring(start, k)
+        try {
+          // HTML5 aliases ISO-8859-1 to windows-1252 (the superset browsers
+          // actually use); everything else resolves via the JDK registry.
+          val canonical = if (name == "iso-8859-1" || name == "latin1") "windows-1252" else name
+          if (Charset.isSupported(canonical)) Charset.forName(canonical)
+          else StandardCharsets.UTF_8
+        } catch { case _: Exception => StandardCharsets.UTF_8 }
+      }
+    new String(bytes, cs)
+  }
 
   def extract(html: String): HtmlResult = {
     val n = html.length

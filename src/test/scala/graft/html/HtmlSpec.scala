@@ -72,6 +72,38 @@ class HtmlSpec extends AnyFunSuite {
     assert(r1.text.contains("Valid text"))
   }
 
+  test("charset sniffing: meta charset, BOM, and unknown fallbacks") {
+    // ISO-8859-1-declared page with accented Latin-1 bytes: é = 0xE9, which
+    // is INVALID UTF-8 alone — the meta prescan must pick the right decode
+    // (and HTML5-alias it to windows-1252).
+    val latin = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=ISO-8859-1\"></head><body><article><p>" +
+      "café résumé touché over twenty-five characters long" +
+      "</p></article></body></html>")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val r = HtmlExtract.extract(latin)
+    assert(r.blocks.exists(_.contains("café résumé")), r.blocks)
+    // windows-1252-only codepoints (0x93/0x94 = curly quotes) must decode
+    // through the HTML5 iso-8859-1 -> windows-1252 alias. The quote bytes
+    // are injected raw (unmappable from an ISO-8859-1-encoded literal).
+    val win = ("<html><head><meta charset=iso-8859-1></head><body><article><p>" +
+      "\u0001quoted\u0002 body text above the length threshold here ok" +
+      "</p></article></body></html>")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      .map(b => if (b == 0x01) 0x93.toByte else if (b == 0x02) 0x94.toByte else b)
+    assert(HtmlExtract.extract(win).blocks.exists(_.contains("\u201cquoted\u201d")))
+    // UTF-8 BOM is stripped, not leaked into the title/first block
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "<html><body><article><p>bom page body text above the threshold yes ok</p></article></body></html>"
+        .getBytes(UTF_8)
+    assert(HtmlExtract.extract(bom).blocks.exists(_.startsWith("bom page")))
+    // unknown charset name -> lossy UTF-8 fallback, never a throw
+    val junk = ("<html><head><meta charset=klingon-9></head><body><article><p>" +
+      "fallback body text above the length threshold yes ok" +
+      "</p></article></body></html>").getBytes(UTF_8)
+    assert(HtmlExtract.extract(junk).blocks.exists(_.contains("fallback body")))
+  }
+
   test("entities decode") {
     val html = "<html><body><article><p>a &amp; b &lt;c&gt; &quot;d&quot; &#65; &#x42;</p></article></body></html>"
     val res = HtmlExtract.extract(html)
