@@ -144,21 +144,27 @@ object SparkEntry {
     "x34_status_taxonomy" -> ((s, dir) => {
       import s.implicits._
       // The FULL status taxonomy through the gate: planted garbage (error),
-      // over-cap payloads (skipped_oversize), empty payloads (empty) and
-      // valid docs (ok), with the expected histogram pure doc_id arithmetic.
+      // over-cap payloads (skipped_oversize), empty payloads (empty),
+      // hostile spinning payloads (timeout — a 2e9-iteration PS roll that
+      // can never finish inside the 0.6 s budget; legitimate docs finish in
+      // ~50 us, 4 orders of magnitude of margin; 1-in-100 planting keeps the
+      // deliberate spin cost out of the verification wall clock) and valid
+      // docs (ok), with the expected histogram pure doc_id arithmetic.
       val pages = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
-          val payload: Array[Byte] = (id % 10) match {
-            case 3 => "%PDF-garbage that cannot parse".getBytes
-            case 6 => Array.fill[Byte](100000)('x') // over the 50k cap below
-            case 9 => Array.emptyByteArray
-            case _ => graft.fixtures.PdfFixtures.s01(text)
-          }
+          val payload: Array[Byte] =
+            if (id % 100 == 2) graft.fixtures.PdfFixtures.sHostile()
+            else (id % 10) match {
+              case 3 => "%PDF-garbage that cannot parse".getBytes
+              case 6 => Array.fill[Byte](100000)('x') // over the 50k cap below
+              case 9 => Array.emptyByteArray
+              case _ => graft.fixtures.PdfFixtures.s01(text)
+            }
           graft.spark.PageRow(f"https://t/doc-$id%06d",
             new java.sql.Timestamp(PagesGen.BaseTs + id), payload, "", "en")
         }.toDF()
-      Pipeline.extract(s, pages, "x34", maxBytesPerDoc = 50000).toDF()
+      Pipeline.extract(s, pages, "x34", maxBytesPerDoc = 50000, timeoutMs = 600).toDF()
         .groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
     }),
 
@@ -665,9 +671,10 @@ object SparkEntry {
       // The mixed corpus is all-valid by construction: every doc must be ok.
       "SELECT 'ok' AS status, CAST(count(*) AS BIGINT) AS n FROM documents ORDER BY status",
     "x34_status_taxonomy" ->
-      ("SELECT CASE CAST(doc_id % 10 AS INT) WHEN 3 THEN 'error' WHEN 6 THEN 'skipped_oversize' " +
-        "WHEN 9 THEN 'empty' ELSE 'ok' END AS status, CAST(count(*) AS BIGINT) AS n " +
-        "FROM documents GROUP BY 1 ORDER BY 1"),
+      ("SELECT CASE WHEN doc_id % 100 = 2 THEN 'timeout' " +
+        "WHEN doc_id % 10 = 3 THEN 'error' WHEN doc_id % 10 = 6 THEN 'skipped_oversize' " +
+        "WHEN doc_id % 10 = 9 THEN 'empty' ELSE 'ok' END AS status, " +
+        "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1 ORDER BY 1"),
     "x14_ann_lsh" ->
       ("WITH " + lshSigSql + ", " +
         "q AS (SELECT s.vec_id AS query_id, s.bucket AS qb, e.embedding AS qe " +

@@ -570,6 +570,22 @@ object PdfFixtures {
       })
   }
 
+  /** sHostile: Separation scn whose Type-4 program spins (a 2x10^9-iteration
+    * `roll` — ps roll loops |j| times in the reference too) — the
+    * deterministic per-document-timeout payload: the wall-clock budget turns
+    * it into a status=timeout row instead of a straggler.
+    */
+  def sHostile(before: String = "partial"): Array[Byte] = {
+    val esc = new String(escapeStringText(before), ISO_8859_1)
+    val res = s"<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> " +
+      "/ColorSpace << /Sep0 [/Separation /Spot /DeviceGray 5 0 R] >> >>"
+    val c = b(s"BT /F1 12 Tf ($esc) Tj ET /Sep0 cs 0.8 scn BT (never) Tj ET")
+    val prog = b("{ 1 2 3 3 2000000000 roll }")
+    onePage(s"<< /Length ${c.length} >>", c, resources = res,
+      extra = bld => bld.stream(5,
+        s"<< /FunctionType 4 /Domain [0 1] /Range [0 1] /Length ${prog.length} >>", prog))
+  }
+
   /** sIndexed: text around an Indexed-colorspace `sc`.
     *  - in-range index: the palette entry resolves through the base space's
     *    own range check -> both text runs extract;

@@ -48,7 +48,8 @@ object Pipeline {
       runId: String,
       numPartitions: Int = -1,
       maxBytesPerDoc: Int = DefaultMaxBytesPerDoc,
-      lineageAcc: CollectionAccumulator[LineageRow] = null): Dataset[ExtractedRow] = {
+      lineageAcc: CollectionAccumulator[LineageRow] = null,
+      timeoutMs: Long = Extract.DefaultTimeoutMs): Dataset[ExtractedRow] = {
     import spark.implicits._
     val base = pages
       .select("url", "warc_ts", "html", "text", "lang")
@@ -81,7 +82,7 @@ object Pipeline {
         inputRows += 1
         val payload = row.html
         bytesIn += (if (payload == null) 0 else payload.length)
-        val r = Extract(payload, maxBytesPerDoc)
+        val r = Extract(payload, maxBytesPerDoc, timeoutMs)
         bytesOut += r.textBytes.length
         if (r.status == "ok") okRows += 1 else if (r.status == "error") errRows += 1
         ExtractedRow(

@@ -215,6 +215,15 @@ class DocumentSpec extends AnyFunSuite {
     assert(r.text == "tinted text")
   }
 
+  test("hostile roll payload -> status=timeout within the budget") {
+    val t0 = System.nanoTime()
+    val r = Extract(PdfFixtures.sHostile(), Extract.DefaultMaxBytesPerDoc, timeoutMs = 300)
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(r.status == "timeout")
+    assert(r.text == "") // timeout drops partial text (top-level contract)
+    assert(ms < 5000, s"deadline must fire promptly, took ${ms}ms")
+  }
+
   test("s17 oversize doc -> skipped_oversize") {
     val r = Extract(PdfFixtures.s01("x"), maxBytesPerDoc = 10)
     assert(r.status == "skipped_oversize")
