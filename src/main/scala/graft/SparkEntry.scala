@@ -307,7 +307,10 @@ object SparkEntry {
 
     // ------------------------------------------------------ fuzzy dedup
     "x16_minhash_groups" -> ((s, dir) => {
-      Dedup.minhashDupGroups(s, s.read.parquet(s"$dir/documents.parquet"))
+      // FULL transitive dup groups (iterative label-propagation CC over the
+      // verified pairs) — the oracle mirrors the closure with a recursive
+      // CTE, so chain-shaped near-dup families compare exactly too.
+      Dedup.minhashDupGroupsCC(s, s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")
     }),
     "x17_simhash" -> ((s, dir) => {
@@ -708,13 +711,19 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, dot, CAST(rn AS INT) AS rank FROM ranked " +
         "WHERE rn <= 10 ORDER BY query_id, rn"),
     "x16_minhash_groups" ->
-      // EXACT all-pairs Jaccard groups (feasible at verify scale): the LSH
-      // result must equal ground truth — this also pins LSH recall.
-      (shingleSetsSql + ", " +
-        "nbr AS (SELECT ia AS id, ib AS nbr FROM good UNION ALL SELECT ib, ia FROM good), " +
-        "mn AS (SELECT id, min(nbr) AS m FROM nbr GROUP BY 1) " +
-        "SELECT d.doc_id, least(d.doc_id, coalesce(mn.m, d.doc_id)) AS dup_group " +
-        "FROM documents d LEFT JOIN mn ON d.doc_id = mn.id ORDER BY d.doc_id"),
+      // EXACT all-pairs Jaccard ground-truth pairs (feasible at verify
+      // scale) closed into components by a RECURSIVE CTE: every vertex
+      // reaches every label in its component, min(label) = the component's
+      // lowest doc_id — exactly minhashDupGroupsCC's semantics. Also pins
+      // LSH recall (a missed pair would split a component).
+      (shingleSetsSql.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+        "nbr AS (SELECT ia AS src, ib AS dst FROM good UNION ALL SELECT ib, ia FROM good), " +
+        "seeds AS (SELECT ia AS id FROM good UNION SELECT ib FROM good), " +
+        "lbl AS (SELECT id, id AS label FROM seeds " +
+        "UNION SELECT n.dst AS id, l.label FROM lbl l JOIN nbr n ON n.src = l.id), " +
+        "cc AS (SELECT id, min(label) AS grp FROM lbl GROUP BY id) " +
+        "SELECT d.doc_id, coalesce(cc.grp, d.doc_id) AS dup_group " +
+        "FROM documents d LEFT JOIN cc ON d.doc_id = cc.id ORDER BY d.doc_id"),
     "x25_minhash_pairs" ->
       (shingleSetsSql +
         " SELECT ia AS a, ib AS b, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un " +

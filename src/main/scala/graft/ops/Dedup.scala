@@ -210,9 +210,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------- connected components
+
+  /** Label-propagation connected components over an undirected edge list
+    * (columns `a`, `b`): every vertex converges to the MINIMUM vertex id of
+    * its component. Each iteration is one shuffle keyed on vertex id
+    * (map-side combined min), persisted and convergence-checked, so the
+    * rounds needed equal the graph's min-label propagation depth (~log
+    * diameter for near-dup blobs, which are dense). This is the transitive
+    * closure the single-pass min-neighbor heuristic approximates: a chain
+    * A~B~C where A!~C still collapses to ONE group here.
+    *
+    * Scale: state is (vertex, label) pairs — two longs per vertex; edges are
+    * re-joined per round from the (persisted) symmetric edge list. Each
+    * round's labels are EAGERLY localCheckpoint'ed — iterative DataFrame
+    * algorithms that merely persist() grow an exponentially-deep lazy plan
+    * (the optimizer re-plans the whole history every round and the driver
+    * OOMs on the plan itself); checkpointing truncates the lineage to the
+    * materialized blocks. (Clusters that must survive executor loss set a
+    * checkpoint dir and swap in reliable .checkpoint().) maxIter bounds
+    * hostile chains; the unconverged remainder keeps its last label (still
+    * a valid refinement of the single-pass answer).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label per vertex = min(own, min over neighbors' labels)
+      val fromNbrs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(fromNbrs)
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Per-doc dup-group via FULL connected components over the verified
+    * near-dup pairs: group = min doc_id of the transitive component
+    * (singletons keep their own id). The production grouping path.
+    */
+  def minhashDupGroupsCC(spark: SparkSession, docs: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         threshold: Double = 0.7, maxIter: Int = 20): DataFrame = {
+    val pairs = minhashDupPairs(spark, docs, idCol, textCol, threshold)
+    val labels = connectedComponents(pairs.select("a", "b"), maxIter)
+    docs.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("dup_group", coalesce(col("label"), col("id")))
+      .select(col("id").as(idCol), col("dup_group"))
+  }
+
   /** Per-doc dup-group assignment: canonical = min id among verified LSH
-    * neighbors (single-pass approximation of connected components; the full
-    * iterative-join CC is the scale-out refinement).
+    * neighbors (single-pass approximation — one shuffle, no iteration; use
+    * minhashDupGroupsCC for the full transitive closure).
     */
   def minhashDupGroups(spark: SparkSession, docs: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",

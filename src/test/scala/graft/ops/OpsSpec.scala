@@ -50,6 +50,48 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.hamming64(Dedup.simhash64(base), Dedup.simhash64(unrelated)) > 10)
   }
 
+  test("connectedComponents equals union-find ground truth on a random graph") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val n = 200
+    val edges = (0 until 300)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x.toInt), find(y.toInt))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val expected = (0 until n).groupBy(find).values
+      .flatMap(vs => { val m = vs.min; vs.map(_ -> m) }).toMap
+    val labels = Dedup.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+    assert(labels.nonEmpty)
+    for ((v, l) <- labels) assert(l == expected(v), s"vertex $v")
+  }
+
+  test("CC dup groups collapse similarity chains the single pass cannot") {
+    import spark.implicits._
+    // A ~ B (J=0.82) and B ~ C (J=0.79) but A !~ C (J=0.65 < 0.7): the
+    // transitive component is {1,2,3}; the single-pass min-neighbor
+    // heuristic leaves doc 3 pointing at 2.
+    val base = (1 to 30).map(i => s"tok$i")
+    val a = base.mkString(" ")
+    val b = (base ++ (31 to 36).map(i => s"tok$i")).mkString(" ")
+    val c = (base ++ (31 to 45).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairs(spark, docs)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L))) // chain shape as constructed
+    val cc = Dedup.minhashDupGroupsCC(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val single = Dedup.minhashDupGroups(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single(3L) == 2L) // the documented one-pass approximation
+  }
+
   test("withCharNgramCount matches the hand-computed distinct 5-gram set") {
     import spark.implicits._
     val docs = Seq(
