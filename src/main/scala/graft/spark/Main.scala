@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   *   --input  <pages parquet/iceberg-layout path>        \
   *   --warehouse <output warehouse path>                 \
   *   [--run-id <id>] [--buckets 4096] [--batch-buckets 64] \
-  *   [--partitions -1] [--max-bytes-per-doc 67108864]
+  *   [--partitions -1] [--max-bytes-per-doc 67108864] \
+  *   [--timeout-ms 30000] [--vacuum true]
   * }}}
   *
   * Reads the Common-Crawl-shaped pages table, runs the resumable extraction
@@ -39,6 +40,11 @@ object Main {
     val partitions = opts.getOrElse("partitions", "-1").toInt
     val maxBytes = opts.getOrElse("max-bytes-per-doc",
       graft.Extract.DefaultMaxBytesPerDoc.toString).toInt
+    val timeoutMs = opts.getOrElse("timeout-ms",
+      graft.Extract.DefaultTimeoutMs.toString).toLong
+    // --vacuum true: sweep stranded uncommitted batch dirs (from previously
+    // killed runs) before this run commits new ones.
+    val doVacuum = opts.getOrElse("vacuum", "false").toBoolean
 
     // On a real cluster spark-submit provides master/conf; defaults below
     // only apply when launched standalone.
@@ -50,18 +56,19 @@ object Main {
       .getOrCreate()
     GraftFunctions.register(spark) // expose extract_text to SQL users too
 
+    val vacuumed = if (doVacuum) TableIO.vacuum(warehouse).length else 0
     val pages = spark.read.parquet(input)
     val t0 = System.nanoTime()
     val snap = TableIO.runResumable(spark, pages, warehouse, runId,
       numBuckets = buckets, batchBuckets = batchBuckets, numPartitions = partitions,
-      maxBytesPerDoc = maxBytes)
+      maxBytesPerDoc = maxBytes, timeoutMs = timeoutMs)
     val sec = (System.nanoTime() - t0) / 1e9
 
     val out = TableIO.readData(spark, warehouse).get
     val statuses = out.groupBy("status").count().collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
     println(
-      s"""{"run_id":"$runId","snapshot":${snap.version},"committed_buckets":${snap.committedBuckets.size},"wall_sec":${"%.1f".format(sec)},"statuses":$statuses}""")
+      s"""{"run_id":"$runId","snapshot":${snap.version},"committed_buckets":${snap.committedBuckets.size},"wall_sec":${"%.1f".format(sec)},"vacuumed_dirs":$vacuumed,"statuses":$statuses}""")
     spark.stop()
   }
 

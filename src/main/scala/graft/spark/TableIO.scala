@@ -103,7 +103,8 @@ object TableIO {
       batchBuckets: Int = 4,
       numPartitions: Int = -1,
       failAfterBatches: Int = -1,
-      maxBytesPerDoc: Int = Pipeline.DefaultMaxBytesPerDoc): Snapshot = {
+      maxBytesPerDoc: Int = Pipeline.DefaultMaxBytesPerDoc,
+      timeoutMs: Long = graft.Extract.DefaultTimeoutMs): Snapshot = {
     import java.util.UUID
     currentSnapshot(warehouse).foreach { s =>
       if (s.numBuckets > 0 && s.numBuckets != numBuckets)
@@ -126,7 +127,7 @@ object TableIO {
       val lineageAcc: CollectionAccumulator[LineageRow] =
         spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$runId-$batchesDone")
       val extracted = Pipeline.extract(spark, subset, runId, numPartitions,
-        maxBytesPerDoc = maxBytesPerDoc, lineageAcc = lineageAcc)
+        maxBytesPerDoc = maxBytesPerDoc, lineageAcc = lineageAcc, timeoutMs = timeoutMs)
       val dataDir = s"$warehouse/data/batch-${snap.version + 1}-${UUID.randomUUID().toString.take(8)}"
       extracted.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
       val lineageDir = s"$warehouse/lineage/batch-${snap.version + 1}-${UUID.randomUUID().toString.take(8)}"
@@ -142,6 +143,39 @@ object TableIO {
       batchesDone += 1
     }
     snap
+  }
+
+  /** Remove UNREFERENCED batch directories (left by jobs that wrote data or
+    * lineage files and died before their manifest committed — commit order
+    * is files -> manifest -> hint, so a crash can strand fully-written
+    * dirs). Every dir referenced by the CURRENT snapshot is kept — since
+    * each commit carries the previous snapshot's dir lists forward, that is
+    * every committed dir ever; only stranded uncommitted output is removed
+    * (Iceberg's removeOrphanFiles analogue). Returns the deleted dirs.
+    */
+  def vacuum(warehouse: String): Seq[String] = {
+    val keep: Set[Path] = currentSnapshot(warehouse)
+      .map(s => (s.dataDirs ++ s.lineageDirs)
+        .map(p => Paths.get(p).toAbsolutePath.normalize).toSet)
+      .getOrElse(Set.empty)
+    val removed = mutable.ArrayBuffer.empty[String]
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    for (root <- Seq("data", "lineage")) {
+      val dir = Paths.get(warehouse, root)
+      if (Files.isDirectory(dir)) {
+        Files.list(dir).iterator().asScala.foreach { child =>
+          val canon = child.toAbsolutePath.normalize
+          if (!keep.contains(canon)) {
+            rm(canon.toFile)
+            removed += canon.toString
+          }
+        }
+      }
+    }
+    removed.toSeq
   }
 
   // ------------------------------------------------------- manifest (JSON)

@@ -62,6 +62,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(acc.value.asScala.map(_.input_rows).sum >= 1)
   }
 
+  test("vacuum removes stranded uncommitted batch dirs, keeps every committed one") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      PageRow(f"https://vac/doc-$i%04d", new java.sql.Timestamp(PagesGen.BaseTs + i),
+        PdfFixtures.s01(s"vac doc $i"), "", "en")
+    }
+    val wh = Files.createTempDirectory("wh-vac").toString
+    TableIO.runResumable(spark, docs.toDF(), wh, "vac", numBuckets = 4, batchBuckets = 2)
+    val before = TableIO.readData(spark, wh).get.count()
+    // Strand two orphan dirs: a crashed batch's data output and its lineage.
+    val orphanData = new java.io.File(s"$wh/data/batch-99-deadbeef")
+    val orphanLin = new java.io.File(s"$wh/lineage/batch-99-deadbeef")
+    orphanData.mkdirs(); orphanLin.mkdirs()
+    Files.writeString(orphanData.toPath.resolve("part-junk.parquet"), "junk")
+    val removed = TableIO.vacuum(wh)
+    assert(removed.toSet == Set(orphanData.getCanonicalPath, orphanLin.getCanonicalPath),
+      removed.toString)
+    assert(!orphanData.exists() && !orphanLin.exists())
+    // Committed data untouched, table still reads identically.
+    assert(TableIO.readData(spark, wh).get.count() == before)
+    assert(TableIO.vacuum(wh).isEmpty) // idempotent
+  }
+
   test("t3 kill/resume: killed job restarts from last committed snapshot, no dups/missing") {
     import spark.implicits._
     val docs = (0 until 200).map { i =>
