@@ -398,9 +398,24 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Per-doc simhash dup-group via FULL connected components over the
+    * hamming<=maxDist pairs (transitive closure; see connectedComponents).
+    */
+  def simhashDupGroupsCC(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", maxDist: Int = 3,
+                         maxIter: Int = 20): DataFrame = {
+    val pairs = simhashDupPairs(docs, idCol, textCol, maxDist)
+    val labels = connectedComponents(pairs.select("a", "b"), maxIter)
+    docs.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("dup_group", coalesce(col("label"), col("id")))
+      .select(col("id").as(idCol), col("dup_group"))
+  }
+
   /** Per-doc simhash dup-group: min id over {self} + all docs whose simhash
     * is within maxDist. Value-level aggregation only (scales with DISTINCT
-    * simhash count, not group sizes).
+    * simhash count, not group sizes); simhashDupGroupsCC gives the full
+    * transitive closure.
     */
   def simhashDupGroups(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", maxDist: Int = 3): DataFrame = {

