@@ -27,11 +27,7 @@ object SparkEntry {
       java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
     val dir = java.nio.file.Files.createTempDirectory(base, prefix).toString
     sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(dir))
+      graft.spark.TableIO.deleteRecursively(new java.io.File(dir))
     }
     dir
   }
@@ -146,15 +142,17 @@ object SparkEntry {
       // The FULL status taxonomy through the gate: planted garbage (error),
       // over-cap payloads (skipped_oversize), empty payloads (empty),
       // hostile spinning payloads (timeout — a 2e9-iteration PS roll that
-      // can never finish inside the 0.6 s budget; legitimate docs finish in
-      // ~50 us, 4 orders of magnitude of margin; 1-in-100 planting keeps the
-      // deliberate spin cost out of the verification wall clock) and valid
-      // docs (ok), with the expected histogram pure doc_id arithmetic.
+      // needs tens of seconds of spin, against a 5 s budget: legitimate
+      // docs finish in ~50 us, so even a multi-second GC pause cannot flip
+      // one to timeout, while the hostile doc cannot sneak under the
+      // budget; 1-in-250 planting keeps the deliberate spin cost out of
+      // the verification wall clock) and valid docs (ok), with the
+      // expected histogram pure doc_id arithmetic.
       val pages = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           val payload: Array[Byte] =
-            if (id % 100 == 2) graft.fixtures.PdfFixtures.sHostile()
+            if (id % 250 == 2) graft.fixtures.PdfFixtures.sHostile()
             else (id % 10) match {
               case 3 => "%PDF-garbage that cannot parse".getBytes
               case 6 => Array.fill[Byte](100000)('x') // over the 50k cap below
@@ -164,7 +162,7 @@ object SparkEntry {
           graft.spark.PageRow(f"https://t/doc-$id%06d",
             new java.sql.Timestamp(PagesGen.BaseTs + id), payload, "", "en")
         }.toDF()
-      Pipeline.extract(s, pages, "x34", maxBytesPerDoc = 50000, timeoutMs = 600).toDF()
+      Pipeline.extract(s, pages, "x34", maxBytesPerDoc = 50000, timeoutMs = 5000).toDF()
         .groupBy("status").agg(count(lit(1)).as("n")).orderBy("status")
     }),
 
@@ -674,7 +672,7 @@ object SparkEntry {
       // The mixed corpus is all-valid by construction: every doc must be ok.
       "SELECT 'ok' AS status, CAST(count(*) AS BIGINT) AS n FROM documents ORDER BY status",
     "x34_status_taxonomy" ->
-      ("SELECT CASE WHEN doc_id % 100 = 2 THEN 'timeout' " +
+      ("SELECT CASE WHEN doc_id % 250 = 2 THEN 'timeout' " +
         "WHEN doc_id % 10 = 3 THEN 'error' WHEN doc_id % 10 = 6 THEN 'skipped_oversize' " +
         "WHEN doc_id % 10 = 9 THEN 'empty' ELSE 'ok' END AS status, " +
         "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1 ORDER BY 1"),

@@ -53,10 +53,15 @@ object HtmlExtract {
     extract(decodeBytes(bytes))
 
   /** Charset-sniffing decode for Common-Crawl-style pages: BOM first, then a
-    * `charset=` declaration (meta http-equiv / meta charset / XML prolog) in
-    * the first 1024 bytes — the HTML5 prescan window — else lossy UTF-8.
-    * Unknown/unsupported charset names fall back to lossy UTF-8 too (a wrong
-    * decode must never fail the document).
+    * `charset=` declaration INSIDE a <meta> tag in the first 1024 bytes —
+    * the HTML5 prescan window (a charset= in a URL, script or comment must
+    * NOT hijack the encoding) — else lossy UTF-8. Per the HTML5 prescan, a
+    * declared utf-16 family maps to UTF-8 (the declaration was found by an
+    * ASCII-compatible scan, so the bytes cannot really be UTF-16; real
+    * UTF-16 docs are caught by the BOM branch). Unknown/unsupported names
+    * fall back to lossy UTF-8 too (a wrong decode must never fail the
+    * document). All case-folding uses Locale.ROOT (a Turkish default locale
+    * must not break "ISO-8859-1" matching).
     */
   private[graft] def decodeBytes(bytes: Array[Byte]): String = {
     import java.nio.charset.{Charset, StandardCharsets}
@@ -67,27 +72,40 @@ object HtmlExtract {
       return new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
     if (bytes.length >= 2 && bytes(0) == 0xff.toByte && bytes(1) == 0xfe.toByte)
       return new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16LE)
-    // ASCII-compatible prescan of the head for charset=...
+    // ASCII-compatible prescan of the head: charset= accepted only between
+    // a "<meta" and its closing '>'.
     val window = new String(bytes, 0, math.min(1024, bytes.length),
-      StandardCharsets.ISO_8859_1).toLowerCase
-    val idx = window.indexOf("charset=")
-    val cs: Charset =
-      if (idx < 0) StandardCharsets.UTF_8
-      else {
+      StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+    var name = ""
+    var metaAt = window.indexOf("<meta")
+    while (name.isEmpty && metaAt >= 0) {
+      val tagEnd = window.indexOf('>', metaAt)
+      val end = if (tagEnd < 0) window.length else tagEnd
+      val idx = window.indexOf("charset=", metaAt)
+      if (idx >= 0 && idx < end) {
         var k = idx + 8
         if (k < window.length && (window.charAt(k) == '"' || window.charAt(k) == '\'')) k += 1
         val start = k
         while (k < window.length && (window.charAt(k).isLetterOrDigit ||
           window.charAt(k) == '-' || window.charAt(k) == '_' || window.charAt(k) == '.')) k += 1
-        val name = window.substring(start, k)
+        name = window.substring(start, k)
+      }
+      metaAt = window.indexOf("<meta", end)
+    }
+    val cs: Charset =
+      if (name.isEmpty) StandardCharsets.UTF_8
+      else
         try {
-          // HTML5 aliases ISO-8859-1 to windows-1252 (the superset browsers
-          // actually use); everything else resolves via the JDK registry.
-          val canonical = if (name == "iso-8859-1" || name == "latin1") "windows-1252" else name
+          // HTML5 aliases: ISO-8859-1 -> windows-1252 (the superset browsers
+          // actually use); utf-16* -> UTF-8 (see Scaladoc). Everything else
+          // resolves via the JDK registry.
+          val canonical =
+            if (name == "iso-8859-1" || name == "latin1") "windows-1252"
+            else if (name.startsWith("utf-16") || name.startsWith("utf16")) "utf-8"
+            else name
           if (Charset.isSupported(canonical)) Charset.forName(canonical)
           else StandardCharsets.UTF_8
         } catch { case _: Exception => StandardCharsets.UTF_8 }
-      }
     new String(bytes, cs)
   }
 
@@ -161,7 +179,7 @@ object HtmlExtract {
           var j = i + (if (close) 2 else 1)
           val nameStart = j
           while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
-          val name = html.substring(nameStart, j).toLowerCase
+          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
           // Find the tag end with quote awareness: '>' inside quoted
           // attribute values (e.g. href="x?a>b") must not terminate the tag.
           var k = j

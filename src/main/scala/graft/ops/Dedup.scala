@@ -63,7 +63,7 @@ object Dedup {
   /** Word k-shingles of a normalized text. */
   def shingles(text: String, k: Int = ShingleK): Array[String] = {
     if (text == null) return Array.empty
-    val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
     if (toks.length < k) {
       if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
     } else {
@@ -230,9 +230,11 @@ object Dedup {
     * materialized blocks. (Clusters that must survive executor loss set a
     * checkpoint dir and swap in reliable .checkpoint().) maxIter bounds
     * hostile chains; the unconverged remainder keeps its last label (still
-    * a valid refinement of the single-pass answer).
+    * a valid refinement of the single-pass answer; the default covers any
+    * plausible near-dup chain — a >100-hop chain of successive edits would
+    * need 100+ documents each within Jaccard 0.7 of the next).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
@@ -248,10 +250,15 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label")).localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      // The prior round's checkpointed blocks are dead once `changed` is
+      // computed — release them instead of letting maxIter copies of the
+      // vertex set pile up in executor storage memory.
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist(blocking = false)
     labels
   }
 
@@ -261,7 +268,7 @@ object Dedup {
     */
   def minhashDupGroupsCC(spark: SparkSession, docs: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
-                         threshold: Double = 0.7, maxIter: Int = 20): DataFrame = {
+                         threshold: Double = 0.7, maxIter: Int = 100): DataFrame = {
     val pairs = minhashDupPairs(spark, docs, idCol, textCol, threshold)
     val labels = connectedComponents(pairs.select("a", "b"), maxIter)
     docs.select(col(idCol).as("id"))
@@ -296,7 +303,7 @@ object Dedup {
   def simhash64(text: String): Long = {
     val v = new Array[Int](64)
     if (text != null) {
-      val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
       for (t <- toks) {
         val h = TextOps.fnv1a64(t)
         var i = 0
@@ -403,7 +410,7 @@ object Dedup {
     */
   def simhashDupGroupsCC(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text", maxDist: Int = 3,
-                         maxIter: Int = 20): DataFrame = {
+                         maxIter: Int = 100): DataFrame = {
     val pairs = simhashDupPairs(docs, idCol, textCol, maxDist)
     val labels = connectedComponents(pairs.select("a", "b"), maxIter)
     docs.select(col(idCol).as("id"))
@@ -457,7 +464,7 @@ object Dedup {
     */
   def charNgrams(text: String, n: Int = 5): Set[Int] = {
     if (text == null || text.length < n) return Set.empty
-    val norm = text.toLowerCase
+    val norm = text.toLowerCase(java.util.Locale.ROOT)
     (0 to norm.length - n).iterator.map(i => MurmurHash3.stringHash(norm.substring(i, i + n))).toSet
   }
 

@@ -67,7 +67,7 @@ object TextOps {
     */
   def detectLang(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    val toks = text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(2000)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(2000)
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
     for (t <- toks; (lang, set) <- stopwords if set.contains(t))
       counts(lang) = counts.getOrElse(lang, 0) + 1
@@ -144,7 +144,7 @@ object TextOps {
     * (substring FNV + list window mins), so oracle-checkable.
     */
   def winnowFingerprints(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
-    val norm = normalizeWs(if (text == null) "" else text.toLowerCase)
+    val norm = normalizeWs(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
     if (norm.isEmpty) return Array.empty
     if (norm.length < k) return Array(fnv1a64(norm))
     val n = norm.length - k + 1

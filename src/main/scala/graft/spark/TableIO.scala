@@ -145,6 +145,12 @@ object TableIO {
     snap
   }
 
+  /** Recursive delete (shared by vacuum and scratch-dir cleanup). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Remove UNREFERENCED batch directories (left by jobs that wrote data or
     * lineage files and died before their manifest committed — commit order
     * is files -> manifest -> hint, so a crash can strand fully-written
@@ -152,27 +158,33 @@ object TableIO {
     * each commit carries the previous snapshot's dir lists forward, that is
     * every committed dir ever; only stranded uncommitted output is removed
     * (Iceberg's removeOrphanFiles analogue). Returns the deleted dirs.
+    *
+    * Matching is by BATCH-DIR NAME under the warehouse's own data/ and
+    * lineage/ roots — never by resolved path. Manifests store the dir
+    * strings exactly as the committing run spelled its --warehouse arg, so
+    * path-level comparison would break (and delete committed data!) when a
+    * later run spells the same warehouse differently (relative vs absolute
+    * cwd, symlinked components). Batch names are unique (UUID suffix).
     */
   def vacuum(warehouse: String): Seq[String] = {
-    val keep: Set[Path] = currentSnapshot(warehouse)
-      .map(s => (s.dataDirs ++ s.lineageDirs)
-        .map(p => Paths.get(p).toAbsolutePath.normalize).toSet)
-      .getOrElse(Set.empty)
+    val snap = currentSnapshot(warehouse)
+    def names(dirs: Seq[String]): Set[String] =
+      dirs.map(p => Paths.get(p).getFileName.toString).toSet
+    val keepData = snap.map(s => names(s.dataDirs)).getOrElse(Set.empty)
+    val keepLineage = snap.map(s => names(s.lineageDirs)).getOrElse(Set.empty)
     val removed = mutable.ArrayBuffer.empty[String]
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    for (root <- Seq("data", "lineage")) {
+    for ((root, keep) <- Seq("data" -> keepData, "lineage" -> keepLineage)) {
       val dir = Paths.get(warehouse, root)
       if (Files.isDirectory(dir)) {
-        Files.list(dir).iterator().asScala.foreach { child =>
-          val canon = child.toAbsolutePath.normalize
-          if (!keep.contains(canon)) {
-            rm(canon.toFile)
-            removed += canon.toString
+        val listing = Files.list(dir)
+        try {
+          listing.iterator().asScala.foreach { child =>
+            if (!keep.contains(child.getFileName.toString)) {
+              deleteRecursively(child.toFile)
+              removed += child.toAbsolutePath.normalize.toString
+            }
           }
-        }
+        } finally listing.close()
       }
     }
     removed.toSeq
