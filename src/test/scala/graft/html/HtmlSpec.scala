@@ -97,6 +97,19 @@ class HtmlSpec extends AnyFunSuite {
       "<html><body><article><p>bom page body text above the threshold yes ok</p></article></body></html>"
         .getBytes(UTF_8)
     assert(HtmlExtract.extract(bom).blocks.exists(_.startsWith("bom page")))
+    // a charset= OUTSIDE a <meta> tag (href/script/comment) must NOT hijack
+    // the decode: utf-16le here would turn the page into mojibake
+    val hijack = ("<html><head><link rel=\"alternate\" href=\"/p?charset=utf-16le\">" +
+      "</head><body><article><p>ascii body text above the length threshold ok" +
+      "</p></article></body></html>").getBytes(UTF_8)
+    assert(HtmlExtract.extract(hijack).blocks.exists(_.contains("ascii body")))
+    // a DECLARED utf-16 on ASCII-compatible bytes maps to UTF-8 (HTML5
+    // prescan rule — the declaration was only readable because the bytes
+    // are not really UTF-16)
+    val misdecl = ("<html><head><meta charset=\"utf-16\"></head><body><article><p>" +
+      "misdeclared body text above the length threshold ok" +
+      "</p></article></body></html>").getBytes(UTF_8)
+    assert(HtmlExtract.extract(misdecl).blocks.exists(_.contains("misdeclared body")))
     // unknown charset name -> lossy UTF-8 fallback, never a throw
     val junk = ("<html><head><meta charset=klingon-9></head><body><article><p>" +
       "fallback body text above the length threshold yes ok" +
