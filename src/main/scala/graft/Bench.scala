@@ -112,8 +112,10 @@ object Bench {
   }
 
   private def fmtReps(reps: Seq[Rep]): String =
-    reps.map(r => f"${r.wall}%.2f${if (r.clean) "" else s"(steal ${r.steal}%.1f)"}")
-      .mkString(",")
+    reps.map { r =>
+      val flag = if (r.clean) "" else f"(steal ${r.steal}%.1f)"
+      f"${r.wall}%.2f$flag"
+    }.mkString(",")
 
   /** One extraction pass at EXACTLY k concurrent tasks: coalesce(k) caps the
     * scan partitions without a shuffle (file-layout partition counts are
