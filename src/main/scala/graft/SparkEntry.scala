@@ -666,8 +666,11 @@ object SparkEntry {
         "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper " +
         "FROM documents ORDER BY doc_id"),
     "q08_norm_dedup" ->
+      // Normalization = TextOps.normalizeWs exactly (trim + collapse of the
+      // six ws chars), the same recipe the x19 fingerprint oracle mirrors.
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents " +
-        "GROUP BY regexp_replace(trim(text), '[ \\t\\r\\n]+', ' ', 'g') ORDER BY keep_id"),
+        "GROUP BY regexp_replace(trim(text, ' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12)), " +
+        "'[ \\t\\r\\n\\x0B\\f]+', ' ', 'g') ORDER BY keep_id"),
     "x12_extract_statuses" ->
       // The mixed corpus is all-valid by construction: every doc must be ok.
       "SELECT 'ok' AS status, CAST(count(*) AS BIGINT) AS n FROM documents ORDER BY status",
@@ -744,8 +747,11 @@ object SparkEntry {
         s"ELSE ${fnvSql("norm")} END AS hu FROM n) " +
         s"SELECT doc_id, ${toSignedSql("hu")} AS fp64 FROM h ORDER BY doc_id"),
     "x27_bpe_tokens" ->
+      // Apostrophe included in the punctuation fallback (GPT-2 shape): the
+      // contraction branch still wins by alternation order; a bare ' is a
+      // punctuation token instead of silently vanishing.
       ("SELECT doc_id, CAST(len(regexp_extract_all(lower(text), " +
-        "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+', 0)) AS BIGINT) " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+', 0)) AS BIGINT) " +
         "AS n_bpe_tokens FROM documents ORDER BY doc_id"),
     "x28_winnow" ->
       // Total over ALL doc shapes (empty / < k chars / <= w grams / general),

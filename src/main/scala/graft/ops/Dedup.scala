@@ -39,10 +39,15 @@ object Dedup {
     docs.groupBy(sha2(col(keyCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Normalized dedup: same, keyed on whitespace-collapsed text. */
+  /** Normalized dedup: same, keyed on whitespace-collapsed text. The
+    * normalization is EXACTLY TextOps.normalizeWs (trim + collapse of
+    * space/tab/CR/LF/VT/FF) expressed in codegen'd SQL, so this key and the
+    * fp64 fingerprint agree on which documents are normalized-identical.
+    */
   def normalizedSurvivors(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame =
-    docs.withColumn("__norm", regexp_replace(trim(col(textCol)), "[ \\t\\r\\n]+", " "))
+    docs.withColumn("__norm",
+      regexp_replace(trim(col(textCol), " \t\r\n\f"), "[ \\t\\r\\n\\u000B\\f]+", " "))
       .groupBy(sha2(col("__norm"), 256).as("norm_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -159,9 +164,14 @@ object Dedup {
                             idCol: String = "doc_id", textCol: String = "text",
                             maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    // Signature-group key: TWO independent 64-bit hashes (128 bits). A
+    // single 64-bit key would collide above ~4x10^9 distinct signatures
+    // (birthday bound at the 10^12-doc design point), silently merging
+    // different-signature docs into one group and dropping their bands.
     val withSig = withMinhash(base, "t")
       .filter(size(col("mh_sig")) > 0) // zero-shingle docs: exact path instead
-      .withColumn("sk", xxhash64(col("mh_sig")))
+      .withColumn("sk", struct(xxhash64(col("mh_sig")).as("h1"),
+        xxhash64(lit("mh-salt"), col("mh_sig")).as("h2")))
     // One representative (min id) per distinct signature.
     val members = withSig.select(col("sk"), col("id"))
     val reps = withSig.groupBy("sk")
@@ -196,18 +206,31 @@ object Dedup {
                       threshold: Double = 0.7,
                       maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val candidates = minhashCandidatePairs(docs, idCol, textCol, maxBandBucket)
-    // Verify EVERY candidate pair on its own text (exact integer counts per
-    // pair — the oracle-comparable values; O(output) udf calls).
+    // Verify each DISTINCT TEXT pair once, then join the verdict back to
+    // every member pair: a signature group of a million byte-identical
+    // boilerplate docs expands to ~10^12 member pairs, and running the
+    // jaccard UDF per member pair would redo identical work 10^12 times —
+    // identical texts necessarily share their exact (inter, un) counts, so
+    // keying the verification on sha2(text) pairs makes the expensive stage
+    // O(distinct text pairs) while every member pair still carries its own
+    // exact integer counts.
     val texts = docs.select(col(idCol).as("tid"), col(textCol).as("ttext"))
-    val cntUdf = udf((x: String, y: String) => jaccardCounts(x, y))
-    candidates
+    val withTexts = candidates
       .join(texts.withColumnRenamed("tid", "a").withColumnRenamed("ttext", "ta"), "a")
       .join(texts.withColumnRenamed("tid", "b").withColumnRenamed("ttext", "tb"), "b")
+      .withColumn("ka", sha2(col("ta"), 256))
+      .withColumn("kb", sha2(col("tb"), 256))
+    val cntUdf = udf((x: String, y: String) => jaccardCounts(x, y))
+    val verified = withTexts.select("ka", "kb", "ta", "tb")
+      .dropDuplicates("ka", "kb")
       .withColumn("c", cntUdf(col("ta"), col("tb")))
-      .select(col("a"), col("b"), col("c._1").as("inter"), col("c._2").as("un"))
+      .select(col("ka"), col("kb"), col("c._1").as("inter"), col("c._2").as("un"))
       .withColumn("jaccard", when(col("un") === 0, 1.0)
         .otherwise(col("inter").cast("double") / col("un")))
       .filter(col("jaccard") >= threshold)
+    withTexts.select("a", "b", "ka", "kb")
+      .join(verified, Seq("ka", "kb"))
+      .select("a", "b", "inter", "un", "jaccard")
   }
 
   // ------------------------------------------------- connected components

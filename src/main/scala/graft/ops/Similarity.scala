@@ -29,11 +29,16 @@ object Similarity {
       "cast(round(cast(x as double)*1000) as bigint) * cast(round(cast(y as double)*1000) as bigint)), " +
       "0L, (acc, v) -> acc + v)"
 
-  /** Double-precision cosine via SQL functions (no UDF). */
+  /** Double-precision cosine via SQL functions (no UDF). Zero-norm vectors
+    * score -2 (below any real cosine) instead of NaN — Spark orders NaN
+    * ABOVE every value, so an unguarded 0/0 would put a single all-zero
+    * embedding at rank 1 of every descending top-k.
+    */
   def cosineExpr(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), 0D, (acc, v) -> acc + v)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"CASE WHEN ${dot(a, a)} = 0D OR ${dot(b, b)} = 0D THEN -2D " +
+      s"ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END"
   }
 
   /** Exact top-k nearest neighbors (cosine) for each query id. */
@@ -236,12 +241,24 @@ object Similarity {
     val withVec = embeddings
       .withColumn("__vec", array_to_vector(col(embCol).cast("array<double>")))
     val n = if (rowCount >= 0) rowCount else withVec.count()
+    if (n == 0)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(0).as("rank"))
+        .limit(0)
     val lists = if (nLists > 0) nLists else listsFor(n)
     val train =
       if (n > trainSample)
         withVec.sample(withReplacement = false, trainSample.toDouble / n, seed)
       else withVec
-    val model = new KMeans().setK(math.min(lists, math.max(2, math.min(n, Int.MaxValue).toInt)))
+    // k is clamped by the TRAINING SAMPLE size, not the corpus: at 10^12
+    // rows listsFor asks for ~10^6 cells but training runs on ~trainSample
+    // points — requesting more clusters than training points degenerates
+    // the quantizer silently. (Raise trainSample alongside nLists when
+    // cell-count targets grow.)
+    val trainCap = math.min(n, trainSample.toLong)
+    val model = new KMeans()
+      .setK(math.max(2, math.min(lists.toLong, trainCap).toInt))
       .setSeed(seed).setMaxIter(10).setFeaturesCol("__vec").fit(train)
     val assigned = model.transform(withVec)
       .withColumnRenamed("prediction", "list_id")

@@ -28,7 +28,7 @@ object TextOps {
     * the DuckDB oracle runs the IDENTICAL pattern.
     */
   val BpeTokenPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
 
   def withBpeTokenCount(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("n_bpe_tokens",
@@ -146,11 +146,15 @@ object TextOps {
   def winnowFingerprints(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
     val norm = normalizeWs(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
     if (norm.isEmpty) return Array.empty
-    if (norm.length < k) return Array(fnv1a64(norm))
-    val n = norm.length - k + 1
+    // Gram indexing is by CODEPOINT, not UTF-16 unit: the SQL mirror's
+    // length()/substring() count codepoints, and slicing by Java chars
+    // would split surrogate pairs on astral-plane text (emoji etc.).
+    val cps = norm.codePoints().toArray
+    if (cps.length < k) return Array(fnv1a64(norm))
+    val n = cps.length - k + 1
     val hs = new Array[Long](n)
     var i = 0
-    while (i < n) { hs(i) = fnv1a64(norm.substring(i, i + k)); i += 1 }
+    while (i < n) { hs(i) = fnv1a64(new String(cps, i, k)); i += 1 }
     if (n <= w) return Array(hs.min)
     val sel = scala.collection.mutable.SortedSet.empty[Long]
     i = 0
