@@ -269,16 +269,16 @@ object Bench {
     val eff832 = tpHi / ((hi.toDouble / mid) * tpMid)
     val total = queryTimes.values.filter(_ >= 0).sum
 
-    val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+    val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     def repJson(reps: Seq[Rep]): String =
-      reps.map(r => s"""{"wall":${"%.3f".format(r.wall)},"steal":${"%.3f".format(r.steal)},"clean":${r.clean}}""")
+      reps.map(r => s"""{"wall":${"%.3f".formatLocal(java.util.Locale.ROOT, r.wall)},"steal":${"%.3f".formatLocal(java.util.Locale.ROOT, r.steal)},"clean":${r.clean}}""")
         .mkString("[", ",", "]")
     val meta =
       s""""pinned":$pinned,"unpinned":$unpinned,"clean_reps":[${repsLo.count(_.clean)},${repsMid.count(_.clean)},${repsHi.count(_.clean)}],"reps_lo":${repJson(repsLo.toSeq)},"reps_mid":${repJson(repsMid.toSeq)},"reps_hi":${repJson(repsHi.toSeq)}"""
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".format(tHi)},"docs_per_sec":${"%.1f".format(tpHi)},"docs_per_sec_per_core":${"%.1f".format(tpHi / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".format(tpLo)},${"%.1f".format(tpMid)},${"%.1f".format(tpHi)}],"efficiency_n_to_4n":${"%.3f".format(eff28)},"efficiency_saturated":${"%.3f".format(eff832)},"efficiency":${"%.3f".format(eff28)},$meta}}""")
+      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".formatLocal(java.util.Locale.ROOT, tHi)},"docs_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)},"docs_per_sec_per_core":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".formatLocal(java.util.Locale.ROOT, tpLo)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpMid)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)}],"efficiency_n_to_4n":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},"efficiency_saturated":${"%.3f".formatLocal(java.util.Locale.ROOT, eff832)},"efficiency":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},$meta}}""")
     spark.stop()
   }
 }

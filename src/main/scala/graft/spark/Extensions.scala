@@ -55,6 +55,7 @@ object ExtractTextEval {
     val r = Extract(input)
     InternalRow(
       UTF8String.fromString(r.text),
+      r.textBytes,
       UTF8String.fromString(r.status),
       UTF8String.fromString(r.error),
       r.spans.length)
@@ -62,8 +63,12 @@ object ExtractTextEval {
 }
 
 object ExtractTextExpr {
+  // text_bytes carries the RAW extracted bytes (CLAUDE.md byte-identity
+  // rule): `text` is the lossy UTF-8 view; a document whose extracted
+  // bytes are not valid UTF-8 is recoverable only through the binary field.
   val schema: StructType = StructType(Seq(
     StructField("text", StringType, nullable = false),
+    StructField("text_bytes", BinaryType, nullable = false),
     StructField("status", StringType, nullable = false),
     StructField("error", StringType, nullable = false),
     StructField("n_spans", IntegerType, nullable = false)))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   *   --warehouse <output warehouse path>                 \
   *   [--run-id <id>] [--buckets 4096] [--batch-buckets 64] \
   *   [--partitions -1] [--max-bytes-per-doc 67108864] \
-  *   [--timeout-ms 30000] [--vacuum true]
+  *   [--timeout-ms 30000] [--vacuum true] [--table-summary true]
   * }}}
   *
   * Reads the Common-Crawl-shaped pages table, runs the resumable extraction
@@ -34,6 +34,8 @@ object Main {
     val runId = opts.getOrElse("run-id", java.util.UUID.randomUUID().toString.take(8))
     val buckets = opts.getOrElse("buckets", "64").toInt
     val batchBuckets = opts.getOrElse("batch-buckets", "16").toInt
+    require(buckets > 0, s"--buckets must be positive, got $buckets")
+    require(batchBuckets > 0, s"--batch-buckets must be positive, got $batchBuckets")
     // -1 (default) = NO pre-kernel shuffle: the dedup window's url-hash
     // partitioning feeds the kernel. Pass 0 / N to opt into an explicit
     // url-hash spread for measured-skew inputs.
@@ -64,11 +66,31 @@ object Main {
       maxBytesPerDoc = maxBytes, timeoutMs = timeoutMs)
     val sec = (System.nanoTime() - t0) / 1e9
 
-    val out = TableIO.readData(spark, warehouse).get
-    val statuses = out.groupBy("status").count().collect()
-      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
+    // THIS RUN's health comes from its own lineage rows (tiny — one per
+    // task partition), not a whole-table aggregate: on a resumed job the
+    // table unions every prior run's output, which would both hide a
+    // this-run error spike and re-scan the full table on every invocation.
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val runStats = TableIO.readLineage(spark, warehouse) match {
+      case Some(lin) =>
+        val r = lin.filter(col("run_id") === runId)
+          .agg(fsum("input_rows"), fsum("ok_rows"), fsum("err_rows")).head()
+        def g(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+        s"""{"input":${g(0)},"ok":${g(1)},"err":${g(2)}}"""
+      case None => """{"input":0,"ok":0,"err":0}"""
+    }
+    // Optional cumulative table histogram (full-table scan — off by default).
+    val tableStatuses =
+      if (opts.getOrElse("table-summary", "false").toBoolean)
+        TableIO.readData(spark, warehouse) match {
+          case Some(out) => out.groupBy("status").count().collect()
+            .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(""","table_statuses":{""", ",", "}")
+          case None => ""
+        }
+      else ""
+    val wall = "%.1f".formatLocal(java.util.Locale.ROOT, sec)
     println(
-      s"""{"run_id":"$runId","snapshot":${snap.version},"committed_buckets":${snap.committedBuckets.size},"wall_sec":${"%.1f".format(sec)},"vacuumed_dirs":$vacuumed,"statuses":$statuses}""")
+      s"""{"run_id":"$runId","snapshot":${snap.version},"committed_buckets":${snap.committedBuckets.size},"wall_sec":$wall,"vacuumed_dirs":$vacuumed,"run_lineage":$runStats$tableStatuses}""")
     spark.stop()
   }
 

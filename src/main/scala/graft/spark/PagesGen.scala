@@ -50,55 +50,41 @@ object PagesGen {
     case _  => PdfFixtures.htmlSimple(text)             // HTML branch
   }
 
-  /** pages table with PDF payloads only (for exact byte round-trip checks). */
-  def pagesPdf(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+  /** Shared generator: documents -> PageRow with a per-doc payload builder
+    * (one body for all four corpus shapes below).
+    */
+  private def gen(spark: SparkSession, sfDir: String, prefix: String)(
+      payload: (Long, String) => Array[Byte]): Dataset[PageRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
-        PageRow(f"https://fixtures.test/doc-$id%06d",
-          new Timestamp(BaseTs + id), payloadFor(id, text, (id % PdfVariants).toInt), "", lang)
+        PageRow(f"https://fixtures.test/$prefix%s-$id%06d",
+          new Timestamp(BaseTs + id), payload(id, text), "", lang)
       }
   }
+
+  /** pages table with PDF payloads only (for exact byte round-trip checks). */
+  def pagesPdf(spark: SparkSession, sfDir: String): Dataset[PageRow] =
+    gen(spark, sfDir, "doc")((id, text) => payloadFor(id, text, (id % PdfVariants).toInt))
 
   /** pages table with HTML payloads only. */
-  def pagesHtml(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
-    import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text", "lang")
-      .as[(Long, String, String)]
-      .map { case (id, text, lang) =>
-        PageRow(f"https://fixtures.test/html-$id%06d",
-          new Timestamp(BaseTs + id), PdfFixtures.htmlSimple(text), "", lang)
-      }
-  }
+  def pagesHtml(spark: SparkSession, sfDir: String): Dataset[PageRow] =
+    gen(spark, sfDir, "html")((_, text) => PdfFixtures.htmlSimple(text))
 
   /** Mixed corpus (PDF variants + HTML), rotation by doc_id. */
-  def pagesMixed(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
-    import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text", "lang")
-      .as[(Long, String, String)]
-      .map { case (id, text, lang) =>
-        PageRow(f"https://fixtures.test/doc-$id%06d",
-          new Timestamp(BaseTs + id), payloadFor(id, text, (id % (PdfVariants + 1)).toInt), "", lang)
-      }
-  }
+  def pagesMixed(spark: SparkSession, sfDir: String): Dataset[PageRow] =
+    gen(spark, sfDir, "doc")((id, text) =>
+      payloadFor(id, text, (id % (PdfVariants + 1)).toInt))
 
   /** Boilerplate-rich HTML pages (nav/header/aside/footer junk around an
     * article): extraction must emit exactly title + newline + content.
     */
-  def pagesHtmlBoiler(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
-    import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text", "lang")
-      .as[(Long, String, String)]
-      .map { case (id, text, lang) =>
-        PageRow(f"https://fixtures.test/hb-$id%06d",
-          new Timestamp(BaseTs + id), PdfFixtures.htmlPage(s"Doc $id", Seq(text)), "", lang)
-      }
-  }
+  def pagesHtmlBoiler(spark: SparkSession, sfDir: String): Dataset[PageRow] =
+    gen(spark, sfDir, "hb")((id, text) => PdfFixtures.htmlPage(s"Doc $id", Seq(text)))
+
+
 
   /** Bench corpus: documents replicated `replicas`x with distinct urls and
     * perturbed text (deterministic), mixed payload variants.

@@ -114,10 +114,41 @@ object TableIO {
             "assignments and duplicate/miss documents")
     }
     val done: Set[Int] = currentSnapshot(warehouse).map(_.committedBuckets).getOrElse(Set.empty)
-    val withBucket = Pipeline
+    val todo = (0 until numBuckets).filterNot(done.contains)
+    val multiBatch = todo.length > batchBuckets
+    // The dedup window is a full shuffle of the input; without a persist,
+    // EVERY batch would re-scan the source table AND re-run that shuffle
+    // (the bucket predicate is a computed hash — no file/partition prune
+    // can serve it). Cache the deduped+bucketed rows to cluster disk once
+    // and let each batch filter the cached partitions instead; released in
+    // the finally. (The real-Iceberg deployment writes the input physically
+    // bucketed so the scan itself prunes; this is the portable equivalent.)
+    val withBucket0 = Pipeline
       .dedupLatest(pages)
       .withColumn("__bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
-    val todo = (0 until numBuckets).filterNot(done.contains)
+    val withBucket =
+      if (multiBatch)
+        withBucket0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else withBucket0
+    try {
+      runBatches(spark, withBucket, warehouse, runId, numBuckets, batchBuckets,
+        numPartitions, failAfterBatches, maxBytesPerDoc, timeoutMs, todo)
+    } finally if (multiBatch) withBucket.unpersist(blocking = false)
+  }
+
+  private def runBatches(
+      spark: SparkSession,
+      withBucket: DataFrame,
+      warehouse: String,
+      runId: String,
+      numBuckets: Int,
+      batchBuckets: Int,
+      numPartitions: Int,
+      failAfterBatches: Int,
+      maxBytesPerDoc: Int,
+      timeoutMs: Long,
+      todo: Seq[Int]): Snapshot = {
+    import java.util.UUID
     var batchesDone = 0
     var snap = currentSnapshot(warehouse).getOrElse(Snapshot(0, Set.empty, Nil, Nil))
     for (batch <- todo.grouped(batchBuckets)) {
@@ -165,13 +196,22 @@ object TableIO {
     * path-level comparison would break (and delete committed data!) when a
     * later run spells the same warehouse differently (relative vs absolute
     * cwd, symlinked components). Batch names are unique (UUID suffix).
+    *
+    * `minAgeMs` guards the race with a CONCURRENT writer: a job between its
+    * file write and its manifest commit has dirs that look orphaned but are
+    * about to be referenced. Only dirs older than the age are swept (same
+    * defense as Iceberg's removeOrphanFiles default 3-day threshold); the
+    * default 24 h is far beyond any single batch's write-to-commit window.
     */
-  def vacuum(warehouse: String): Seq[String] = {
+  val DefaultVacuumMinAgeMs: Long = 24L * 3600 * 1000
+
+  def vacuum(warehouse: String, minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
     val snap = currentSnapshot(warehouse)
     def names(dirs: Seq[String]): Set[String] =
       dirs.map(p => Paths.get(p).getFileName.toString).toSet
     val keepData = snap.map(s => names(s.dataDirs)).getOrElse(Set.empty)
     val keepLineage = snap.map(s => names(s.lineageDirs)).getOrElse(Set.empty)
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val removed = mutable.ArrayBuffer.empty[String]
     for ((root, keep) <- Seq("data" -> keepData, "lineage" -> keepLineage)) {
       val dir = Paths.get(warehouse, root)
@@ -179,7 +219,8 @@ object TableIO {
         val listing = Files.list(dir)
         try {
           listing.iterator().asScala.foreach { child =>
-            if (!keep.contains(child.getFileName.toString)) {
+            if (!keep.contains(child.getFileName.toString) &&
+              child.toFile.lastModified() < cutoff) {
               deleteRecursively(child.toFile)
               removed += child.toAbsolutePath.normalize.toString
             }
@@ -205,15 +246,32 @@ object TableIO {
       else m.group(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
     }
     def strArray(key: String): Seq[String] = {
-      val m = java.util.regex.Pattern.compile("\"" + key + "\":\\[([^\\]]*)\\]").matcher(json)
-      if (!m.find()) Nil
-      else {
-        val body = m.group(1)
-        val out = mutable.ArrayBuffer.empty[String]
-        val sm = java.util.regex.Pattern.compile("\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(body)
-        while (sm.find()) out += sm.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-        out.toSeq
+      // Scan to the MATCHING ']' with full quote/escape awareness: a regex
+      // stopping at the first ']' would truncate on a ']' inside a dir path
+      // (e.g. --warehouse '/tmp/wh[1]') and silently drop committed dirs —
+      // which vacuum() would then sweep as orphans.
+      val start = json.indexOf("\"" + key + "\":[")
+      if (start < 0) return Nil
+      var i = start + key.length + 4
+      val out = mutable.ArrayBuffer.empty[String]
+      var inStr = false
+      var esc = false
+      val sb = new java.lang.StringBuilder
+      var done = false
+      while (!done && i < json.length) {
+        val c = json.charAt(i)
+        if (inStr) {
+          if (esc) { sb.append(c); esc = false }
+          else if (c == '\\') esc = true
+          else if (c == '"') { out += sb.toString; sb.setLength(0); inStr = false }
+          else sb.append(c)
+        } else {
+          if (c == '"') inStr = true
+          else if (c == ']') done = true
+        }
+        i += 1
       }
+      out.toSeq
     }
     def intField(key: String): Int = {
       val m = java.util.regex.Pattern.compile("\"" + key + "\":(\\d+)").matcher(json)

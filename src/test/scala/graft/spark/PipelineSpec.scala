@@ -76,13 +76,32 @@ class PipelineSpec extends AnyFunSuite {
     val orphanLin = new java.io.File(s"$wh/lineage/batch-99-deadbeef")
     orphanData.mkdirs(); orphanLin.mkdirs()
     Files.writeString(orphanData.toPath.resolve("part-junk.parquet"), "junk")
-    val removed = TableIO.vacuum(wh)
+    // Default min-age guard: a FRESH stranded dir (possibly a concurrent
+    // writer mid-commit) must NOT be swept...
+    assert(TableIO.vacuum(wh).isEmpty)
+    assert(orphanData.exists())
+    // ...but once old enough it is.
+    val removed = TableIO.vacuum(wh, minAgeMs = 0)
     assert(removed.toSet == Set(orphanData.getCanonicalPath, orphanLin.getCanonicalPath),
       removed.toString)
     assert(!orphanData.exists() && !orphanLin.exists())
     // Committed data untouched, table still reads identically.
     assert(TableIO.readData(spark, wh).get.count() == before)
-    assert(TableIO.vacuum(wh).isEmpty) // idempotent
+    assert(TableIO.vacuum(wh, minAgeMs = 0).isEmpty) // idempotent
+  }
+
+  test("manifest round-trips dirs containing ']' (vacuum must not mistake them for orphans)") {
+    val wh = Files.createTempDirectory("wh-br[1]").toString
+    TableIO.commit(wh, Set(0), Some(s"$wh/data/batch-1-x"), Some(s"$wh/lineage/batch-1-x"), 4)
+    val rt = TableIO.currentSnapshot(wh).get
+    // A ']' inside the path previously truncated the regex-parsed arrays to
+    // Nil — and vacuum would then sweep every committed dir.
+    assert(rt.dataDirs == Seq(s"$wh/data/batch-1-x"), rt.dataDirs)
+    assert(rt.lineageDirs == Seq(s"$wh/lineage/batch-1-x"))
+    new java.io.File(s"$wh/data/batch-1-x").mkdirs()
+    new java.io.File(s"$wh/lineage/batch-1-x").mkdirs()
+    assert(TableIO.vacuum(wh, minAgeMs = 0).isEmpty)
+    assert(new java.io.File(s"$wh/data/batch-1-x").exists())
   }
 
   test("t3 kill/resume: killed job restarts from last committed snapshot, no dups/missing") {
