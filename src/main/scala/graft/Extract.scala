@@ -14,7 +14,7 @@ final case class Span(page: Int, start: Long, end: Long)
   *  - textBytes carries the EXACT extracted bytes (the byte-identity unit of
   *    the north rule); `text` is its UTF-8 (lossy) string view for the Spark
   *    string column.
-  *  - status: ok | error | skipped_oversize | empty
+  *  - status: ok | error | empty | skipped_oversize | timeout
   *  - error: message for status=error (text still holds the partial output).
   */
 final case class ExtractResult(
@@ -62,6 +62,16 @@ object Extract {
     } catch {
       case _: PdfTimeout =>
         ExtractResult(Array.emptyByteArray, Nil, "timeout", "per-document time budget exceeded")
+      case ie: InterruptedException =>
+        // Task cancellation (Spark kills speculative/cancelled tasks via
+        // interrupt) must propagate, not become a data row.
+        Thread.currentThread().interrupt()
+        throw ie
+      case fatal: OutOfMemoryError =>
+        throw fatal // the heap is unreliable now: fail the task, don't mask
+        // (StackOverflowError stays a clean error row: the stack has fully
+        // unwound and the depth caps make it a document property, not a VM
+        // corruption)
       case e: Throwable => // absolute backstop: a kernel bug must not fail the task
         ExtractResult(Array.emptyByteArray, Nil, "error", safeMsg(e))
     }

@@ -450,8 +450,10 @@ object SparkEntry {
       // SQL-stateable set since the whole input fits one microbatch (file
       // source with no maxFilesPerTrigger) so no row can be late-dropped.
       val tmp = scratchDir("graft-x37")
-      s.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/in")
-      graft.streaming.StreamingOps.windowedCounts(s, s"$tmp/in", s"$tmp/ck", s"$tmp/out")
+      // Stream the events table IN PLACE (read-only) — only the checkpoint
+      // and sink live in scratch; copying the input bought nothing.
+      graft.streaming.StreamingOps.windowedCounts(s, s"$dir/events.parquet",
+        s"$tmp/ck", s"$tmp/out")
       s.read.parquet(s"$tmp/out")
         .select(unix_timestamp(col("win_start")).cast("long").as("win_epoch"),
           col("event_type"), col("n"))

@@ -76,21 +76,49 @@ object HtmlExtract {
     // a "<meta" and its closing '>'.
     val window = new String(bytes, 0, math.min(1024, bytes.length),
       StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+    // Quote-aware walk of each <meta> tag (like the main tag parser): a '>'
+    // inside a quoted attribute value must not truncate the tag. A charset=
+    // is honored when it is a BARE attribute (<meta charset=...>) or sits
+    // inside a quoted value of a tag that carries http-equiv (the legacy
+    // <meta http-equiv=Content-Type content="...; charset=...">) — but NOT
+    // when it merely appears in some other quoted value (e.g. a
+    // description containing the word), which must not hijack the decode.
     var name = ""
     var metaAt = window.indexOf("<meta")
     while (name.isEmpty && metaAt >= 0) {
-      val tagEnd = window.indexOf('>', metaAt)
-      val end = if (tagEnd < 0) window.length else tagEnd
-      val idx = window.indexOf("charset=", metaAt)
-      if (idx >= 0 && idx < end) {
-        var k = idx + 8
-        if (k < window.length && (window.charAt(k) == '"' || window.charAt(k) == '\'')) k += 1
-        val start = k
-        while (k < window.length && (window.charAt(k).isLetterOrDigit ||
-          window.charAt(k) == '-' || window.charAt(k) == '_' || window.charAt(k) == '.')) k += 1
-        name = window.substring(start, k)
+      var k = metaAt + 5
+      var quote: Char = 0
+      var end = window.length
+      var httpEquiv = false
+      var charsetAt = -1
+      var charsetQuoted = false
+      var scanning = true
+      while (scanning && k < window.length) {
+        val ch = window.charAt(k)
+        if (quote != 0) {
+          if (ch == quote) quote = 0
+          else if (charsetAt < 0 && window.startsWith("charset=", k)) {
+            charsetAt = k; charsetQuoted = true
+          }
+        } else {
+          if (ch == '"' || ch == '\'') quote = ch
+          else if (ch == '>') { end = k; scanning = false }
+          else if (window.startsWith("http-equiv", k)) httpEquiv = true
+          else if (charsetAt < 0 && window.startsWith("charset=", k)) {
+            charsetAt = k; charsetQuoted = false
+          }
+        }
+        k += 1
       }
-      metaAt = window.indexOf("<meta", end)
+      if (charsetAt >= 0 && (!charsetQuoted || httpEquiv)) {
+        var v = charsetAt + 8
+        if (v < window.length && (window.charAt(v) == '"' || window.charAt(v) == '\'')) v += 1
+        val start = v
+        while (v < window.length && (window.charAt(v).isLetterOrDigit ||
+          window.charAt(v) == '-' || window.charAt(v) == '_' || window.charAt(v) == '.')) v += 1
+        name = window.substring(start, v)
+      }
+      metaAt = window.indexOf("<meta", math.max(end, metaAt + 5))
     }
     val cs: Charset =
       if (name.isEmpty) StandardCharsets.UTF_8
@@ -122,11 +150,19 @@ object HtmlExtract {
     val blocks = mutable.ArrayBuffer.empty[Block]
     var current = new Block
 
+    // Pending-whitespace state survives ACROSS text runs within a block:
+    // "click <a>here</a>" arrives as two runs, and the trailing space of
+    // the first must separate the words (a run-local flag would emit
+    // "clickhere"). Reset at block boundaries — the block break itself is
+    // the separator there.
+    var pendingWs = false
+
     def flushBlock(): Unit = {
       if (current.sb.nonEmpty) blocks += current
       current = new Block
       current.inContent = contentDepth > 0
       current.boilerplate = boilerDepth > 0
+      pendingWs = false
     }
 
     def appendText(raw: String): Unit = {
@@ -137,20 +173,19 @@ object HtmlExtract {
       }
       var started = current.sb.nonEmpty
       var k = 0
-      var lastWs = false
       while (k < decoded.length) {
         val c = decoded.charAt(k)
         if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0x0b) {
-          lastWs = true
+          pendingWs = true
         } else {
-          if (lastWs && started) {
+          if (pendingWs && started) {
             current.sb.append(' ')
             if (linkDepth > 0) current.linkChars += 1
           }
           current.sb.append(c)
           if (linkDepth > 0) current.linkChars += 1
           started = true
-          lastWs = false
+          pendingWs = false
         }
         k += 1
       }
@@ -193,10 +228,17 @@ object HtmlExtract {
             k += 1
           }
           val tagEnd = if (gtEnd < 0) n else gtEnd + 1
+          // "<svg/>" etc: an open tag that closes itself has no subtree to
+          // skip and must not move any depth counter (it would never be
+          // balanced by a close tag).
+          val selfClosing = !close && gtEnd > 0 && html.charAt(gtEnd - 1) == '/'
           if (name.isEmpty) {
             // Broken tag like "< " or "<>": treat '<' as text.
             appendText("<")
             i += 1
+          } else if (selfClosing) {
+            if (blockTags.contains(name)) flushBlock()
+            i = tagEnd
           } else if (!close && rawTextTags.contains(name)) {
             // Skip the raw-text subtree: find the matching close tag. The
             // prefix match alone would accept "</scripty>" for "</script";
@@ -222,6 +264,12 @@ object HtmlExtract {
             }
           } else {
             if (blockTags.contains(name)) flushBlock()
+            // Missing-</title> recovery: a page whose <title> never closes
+            // would otherwise route the ENTIRE body into the title and
+            // bypass every block heuristic — close it when the head clearly
+            // ends.
+            if (inTitle && (name == "body" || (close && name == "head")))
+              inTitle = false
             name match {
               case "title" =>
                 inTitle = !close
@@ -322,15 +370,21 @@ object HtmlExtract {
             case "apos" => "'"
             case "nbsp" => " "
             case e if namedEntities.contains(e) => namedEntities(e)
+            // Surrogate-range refs (U+D800-DFFF) pass isValidCodePoint but
+            // would emit LONE surrogate chars; HTML5 mandates U+FFFD.
             case e if e.startsWith("#x") || e.startsWith("#X") =>
               try {
                 val cp = Integer.parseInt(e.substring(2), 16)
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else "�"
+                if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF))
+                  new String(Character.toChars(cp))
+                else "�"
               } catch { case _: Exception => null }
             case e if e.startsWith("#") =>
               try {
                 val cp = Integer.parseInt(e.substring(1))
-                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else "�"
+                if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF))
+                  new String(Character.toChars(cp))
+                else "�"
               } catch { case _: Exception => null }
             case _ => null
           }

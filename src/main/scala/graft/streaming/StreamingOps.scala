@@ -146,7 +146,14 @@ object StreamingOps {
               else if (t - st.last > gapMs) {
                 out += SessionOut(userId, new Timestamp(st.start), st.events, st.last - st.start)
                 st = SessionState(t, t, 1)
-              } else st = st.copy(last = t, events = st.events + 1)
+              } else
+                // `last` is monotone: a CROSS-BATCH late event (earlier than
+                // state.last — sorting is per-batch only) joins the open
+                // session but must not move its end backwards, which would
+                // yield negative durations and wrongly merge later events
+                // that exceeded the real gap. (Event-time watermarking is
+                // the production bound on how late such events can be.)
+                st = st.copy(last = math.max(st.last, t), events = st.events + 1)
             }
             state.update(st)
             if (flushOpenOnTimeout) state.setTimeoutDuration(gapMs)

@@ -117,6 +117,36 @@ class HtmlSpec extends AnyFunSuite {
     assert(HtmlExtract.extract(junk).blocks.exists(_.contains("fallback body")))
   }
 
+  test("whitespace survives inline-tag boundaries (no word concatenation)") {
+    val html = "<html><body><article><p>click <a href=\"/x\">here</a> for the " +
+      "full <b>bold</b> story of the day</p></article></body></html>"
+    val res = HtmlExtract.extract(html)
+    assert(res.blocks == Seq("click here for the full bold story of the day"), res.blocks)
+  }
+
+  test("self-closing raw-text tags do not swallow the rest of the document") {
+    val html = "<html><body><svg class=\"icon\"/><article><p>content after the icon " +
+      "long enough to be kept around</p></article></body></html>"
+    val res = HtmlExtract.extract(html)
+    assert(res.blocks.exists(_.startsWith("content after the icon")), res.blocks)
+  }
+
+  test("missing </title> closes at <body> instead of eating the document") {
+    val html = "<html><head><title>Page Title<body><article><p>body text above " +
+      "the length threshold here ok</p></article></body></html>"
+    val res = HtmlExtract.extract(html)
+    assert(res.title == "Page Title")
+    assert(res.blocks.exists(_.startsWith("body text")), res.blocks)
+  }
+
+  test("surrogate-range numeric refs decode to U+FFFD, astral refs survive") {
+    val html = "<html><body><article><p>a &#xD800; b &#x1F600; padded to the keep " +
+      "threshold easily</p></article></body></html>"
+    val res = HtmlExtract.extract(html)
+    assert(res.blocks.head.contains("a � b"), res.blocks)
+    assert(res.blocks.head.contains(new String(Character.toChars(0x1F600))))
+  }
+
   test("entities decode") {
     val html = "<html><body><article><p>a &amp; b &lt;c&gt; &quot;d&quot; &#65; &#x42;</p></article></body></html>"
     val res = HtmlExtract.extract(html)
