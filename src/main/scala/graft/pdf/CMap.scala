@@ -200,6 +200,18 @@ object CMapParser {
             var sc = srcFrom
             var i = 0L
             while (sc <= srcTo) {
+              // Robustness caps (same doctrine as the depth caps): a hostile
+              // <00000000> <ffffffff> range is 2^32 entries (~300 GB of
+              // boxed map) — the deadline poll turns a long-but-sane range
+              // into a timeout row, and the absolute entry cap stops the
+              // heap exploding inside one poll interval. (The reference
+              // would OOM on such a range; a clean error row is the
+              // never-throw contract's answer.)
+              if ((i & 0xfff) == 0L) {
+                Deadline.check()
+                if (cmap.codeMap(numBytes - 1).size > 4000000)
+                  throw new PdfError("bfrange too large")
+              }
               cmap.codeMap(numBytes - 1)(sc) = PdfObjs.utf8EncodeRune(target + i)
               sc += 1; i += 1
             }

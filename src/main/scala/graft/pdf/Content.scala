@@ -51,7 +51,16 @@ final class ContentParser(content0: Array[Byte]) {
         }
         val op = ContentOp(operand, params)
         operations += op
-        if (operand == "BI") op.params += parseInlineImage()
+        // EOF INSIDE an inline image is an error, not a clean stream end:
+        // the reference's ParseInlineImage returns io.EOF as an error and
+        // Parse() propagates it (only a bare EOF at the top of the token
+        // loop ends parsing successfully) — a truncated BI..ID payload must
+        // abort with partial text, not extract as ok.
+        if (operand == "BI") {
+          op.params +=
+            (try parseInlineImage()
+            catch { case _: EofExit => throw new PdfError("EOF in inline image") })
+        }
       }
     } catch {
       case _: EofExit => // successful exit point

@@ -489,8 +489,11 @@ object PdfCrypt {
           cryptFilters = cf; stringFilter = strF; streamFilter = stmF
         } else throw new PdfError("Unsupported algorithm")
       case _ =>
-        cryptFilters = Map(StandardCryptFilterName -> FilterDef("V2", length),
-          "Identity" -> FilterDef("", 0))
+        // Missing /V: the reference leaves V=0 with NO crypt filters
+        // (crypt.go:342-358 only installs them for an integer V), so every
+        // later decrypt fails "Unknown crypt filter" — a document error,
+        // not a silently-RC4-decrypted document.
+        ()
     }
     val r = ed.get("R") match {
       case PdfInt(rr) =>

@@ -292,6 +292,12 @@ final class PdfFileParser(val data: Array[Byte]) {
     var objIndex = 0
     var i = 0
     var break = false
+    // A PARTIAL trailing row is an error, not a tolerated remainder: the
+    // reference iterates `i < len(ds)` and its checkBounds on the short
+    // slice fails the whole xref-stream load (parser.go row loop) — the
+    // error is what routes such documents into repair.
+    if (ds.length % deltab != 0)
+      throw new PdfError("Invalid slice range in xref stream rows")
     while (i + deltab <= ds.length && !break) {
       var ftype = convertBytes(ds, i, i + s0)
       val n2 = convertBytes(ds, i + s0, i + s1)
@@ -494,8 +500,23 @@ final class PdfFileParser(val data: Array[Byte]) {
 
   /** pdf/core/crossrefs.go:67-194: decode the /Type /ObjStm container, parse
     * its "objnum offset" header pairs, then parse the member at its offset.
+    *
+    * Depth-capped: MUTUAL objstm cycles (object A compressed in container B
+    * whose entry says it is compressed in A) recurse through lookup() and
+    * the self-reference check cannot see them — capped like every other
+    * recursive parser (fixed JVM stacks; a clean error beats a
+    * StackOverflowError from an arbitrary frame).
     */
+  private var osLookupDepth = 0
   private def lookupObjectViaOS(sobjNumber: Int, objNum: Int): PdfObj = {
+    osLookupDepth += 1
+    try {
+      if (osLookupDepth > 32) throw new PdfError("Object stream reference cycle")
+      lookupObjectViaOSImpl(sobjNumber, objNum)
+    } finally osLookupDepth -= 1
+  }
+
+  private def lookupObjectViaOSImpl(sobjNumber: Int, objNum: Int): PdfObj = {
     val objstm = objstms.getOrElse(sobjNumber, {
       val soi = lookup(sobjNumber)
       val so = soi match {
@@ -623,7 +644,13 @@ final class PdfFileParser(val data: Array[Byte]) {
         val lineStr = lex.readTextLine()
         if (lineStr.length >= 6 && lineStr.startsWith("endobj"))
           return new PdfIndirect(objNum, genNum, if (inner == null) PdfNull else inner)
-        // otherwise keep looping (mirrors the reference falling through)
+        // Non-endobj 'e' line: the reference consumes the line, parses ONE
+        // object from whatever follows and RETURNS immediately
+        // (parser.go:1384-1391 falls through to the trailing parseObject) —
+        // the resulting parse error is what drives xref repair. Looping
+        // instead would silently self-heal the malformed object.
+        inner = lex.parseObject()
+        return new PdfIndirect(objNum, genNum, if (inner == null) PdfNull else inner)
       } else if (b0 == 's' && str(cur.peek(6)) == "stream") {
         var discardBytes = 6
         // Reference EOL handling: tolerate a stray non-CRLF whitespace byte.

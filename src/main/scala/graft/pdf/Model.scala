@@ -375,8 +375,12 @@ final class PdfDocument(val parser: PdfFileParser,
   }
 
   private def titleString(dict: PdfDict): String = {
+    // Raw-byte preserving decode (ISO-8859-1 maps bytes 1:1 to chars): the
+    // reference's Go string([]byte) keeps /Title bytes untouched — a UTF-8
+    // decode would U+FFFD-corrupt the common UTF-16BE (<FEFF...>) titles
+    // and break byte identity if outlines ever feed an output column.
     PdfObjs.traceToDirect(traceToObject(dict.get("Title"))) match {
-      case s: PdfStr => new String(s.bytes, java.nio.charset.StandardCharsets.UTF_8)
+      case s: PdfStr => new String(s.bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       case _         => throw new PdfError("Title not a string")
     }
   }
@@ -769,7 +773,15 @@ final class PdfDocument(val parser: PdfFileParser,
   /** Inherited resources via the Parent chain (pdf/model/page.go:404-441). */
   private def inheritedResources(d: PdfDict): Option[PdfResources] = {
     var node = d.get("Parent")
+    // Cycle/depth guard + deadline poll: a self- or mutually-referencing
+    // /Parent chain (which buildPageList's cycle set does not rewrite for
+    // the ROOT node) would otherwise spin this allocation-free loop forever
+    // — unreachable by the per-document timeout.
+    var hops = 0
     while (node != null) {
+      hops += 1
+      if (hops > 1000) throw new PdfError("Parent chain too deep or cyclic")
+      Deadline.check()
       val dict = node match {
         case io: PdfIndirect =>
           io.obj match {

@@ -7,6 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 /** CMap goldens ported from /root/reference/pdf/internal/cmap/cmap_test.go. */
 class CMapSpec extends AnyFunSuite {
 
+  test("hostile 2^32-entry bfrange is capped cleanly (no OOM, no hang)") {
+    val hostile = ("1 begincodespacerange\n<00000000> <ffffffff>\nendcodespacerange\n" +
+      "1 beginbfrange\n<00000000> <ffffffff> <0041>\nendbfrange\n").getBytes(ISO_8859_1)
+    Deadline.set(System.nanoTime() + 10000L * 1000000L)
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[PdfError](CMapParser.load(hostile))
+      val ms = (System.nanoTime() - t0) / 1000000
+      assert(e.getMessage.contains("bfrange too large") ||
+        e.isInstanceOf[PdfTimeout], e.getMessage)
+      assert(ms < 30000, s"cap must fire promptly, took ${ms}ms")
+    } finally Deadline.clear()
+  }
+
   val cmap1Data: String =
     """
 /CIDInit /ProcSet findresource begin

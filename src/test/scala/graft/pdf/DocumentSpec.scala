@@ -224,6 +224,48 @@ class DocumentSpec extends AnyFunSuite {
     assert(ms < 5000, s"deadline must fire promptly, took ${ms}ms")
   }
 
+  test("cyclic /Parent chain -> clean error, not an unkillable spin") {
+    val bld = new PdfFixtures.Builder()
+    val c = "BT (x) Tj ET".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    // Root Pages node referencing ITSELF as /Parent; page has no /Resources,
+    // so inheritedResources must walk (and bail out of) the cycle.
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] /Parent 2 0 R >>")
+    bld.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    val t0 = System.nanoTime()
+    val r = Extract(bld.build(), Extract.DefaultMaxBytesPerDoc, timeoutMs = 5000)
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(r.status == "error" || r.status == "timeout", r.status)
+    assert(ms < 10000, s"cycle guard must fire promptly, took ${ms}ms")
+  }
+
+  test("truncated inline image (EOF before EI) -> error with partial-page abort") {
+    // Reference: ParseInlineImage returns io.EOF as an ERROR; the whole
+    // content parse fails, so no text is extracted (page error row).
+    val c = "BT (hello) Tj ET BI /W 1 /H 1 /CS /DeviceGray /BPC 8 ID "
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val bld = new PdfFixtures.Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources ${PdfFixtures.defaultResources} /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    val r = Extract(bld.build())
+    assert(r.status == "error", r.status)
+    assert(r.text == "")
+  }
+
+  test("Encrypt dict without /V -> decrypt error (no default RC4 filters)") {
+    // Take a valid RC4-encrypted doc and strip /V from its Encrypt dict:
+    // the reference installs NO crypt filters when V is absent, so the
+    // first decrypt fails (crypt.go:342-358).
+    val bytes = PdfFixtures.sEncrypted("secret text", 7L, aes = false)
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val patched = s.replaceFirst("/V 2", "/Z 2 ") // same byte length: offsets intact
+    val r = Extract(patched.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(r.status == "error", r.status)
+  }
+
   test("s17 oversize doc -> skipped_oversize") {
     val r = Extract(PdfFixtures.s01("x"), maxBytesPerDoc = 10)
     assert(r.status == "skipped_oversize")
