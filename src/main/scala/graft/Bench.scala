@@ -111,6 +111,15 @@ object Bench {
     (if (clean.nonEmpty) clean else reps).map(_.wall).min
   }
 
+  /** Minimal JSON string-escape for env-derived values in the output line. */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private def fmtReps(reps: Seq[Rep]): String =
     reps.map { r =>
       val flag = if (r.clean) "" else f"(steal ${r.steal}%.1f)"
@@ -121,26 +130,40 @@ object Bench {
     * scan partitions without a shuffle (file-layout partition counts are
     * unreliable — Spark splits/packs parquet files by size).
     */
-  private def extractionPass(spark: SparkSession, path: String, k: Int): Long = {
+  /** Returns (rows, okRows): the ok count guards against a corpus/fixture
+    * regression turning docs into fast error rows — which would silently
+    * INFLATE docs/sec while measuring nothing.
+    */
+  private def extractionPass(spark: SparkSession, path: String, k: Int): (Long, Long) = {
     import spark.implicits._
     val ds = Pipeline.extract(spark, spark.read.parquet(path).coalesce(k), "bench",
       numPartitions = -1)
     // Typed Dataset fold (no RDD): count rows while forcing full extraction.
     ds.mapPartitions { it =>
       var n = 0L
-      while (it.hasNext) { if (it.next().status ne null) n += 1 }
-      Iterator.single(n)
-    }.reduce(_ + _)
+      var ok = 0L
+      while (it.hasNext) { n += 1; if (it.next().status == "ok") ok += 1 }
+      Iterator.single((n, ok))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Below 4 cpus the derived levels collide (mid == hi), which would
+    // overwrite timings and report a self-compared saturated efficiency.
+    require(cpus >= 4, s"bench needs >= 4 cpus for distinct scaling levels, got $cpus")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "20").toInt
     // RAM-backed scratch when available: keeps the measurement CPU-bound.
     val tmpBase = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
       java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
     val tmp = java.nio.file.Files.createTempDirectory(tmpBase, "graft-bench").toString
+    // Registered BEFORE the corpus build: a failed build must not strand
+    // gigabytes in RAM-backed /dev/shm (deleteRecursively null-guards a
+    // concurrently-emptied dir).
+    sys.addShutdownHook {
+      graft.spark.TableIO.deleteRecursively(new java.io.File(tmp))
+    }
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -168,15 +191,21 @@ object Bench {
       PagesGen.pagesBench(spark, sfDir, replicas).toDF()
         .repartition(hi).write.parquet(pages4N)
     }
-    // clean scratch on exit
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(tmp))
-    }
+    // coalesce(k) can only REDUCE the scan's partition count — size the
+    // file-split knobs so the scan yields >= hi partitions at ANY corpus
+    // size (at small SFs the default 128MB/4MB packing collapses the scan
+    // to a handful of partitions and every "level" would silently run at
+    // the same width, making the efficiency numbers fiction).
+    val corpusBytes = Option(new java.io.File(pages4N).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
+    spark.conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      math.max(1L << 20, corpusBytes / hi + 1).toString)
     val docs = spark.read.parquet(pages4N).count()
+    val scanParts = spark.read.parquet(pages4N).rdd.getNumPartitions
+    if (scanParts < hi)
+      System.err.println(s"[bench] WARNING: scan yields $scanParts partitions < hi=$hi; " +
+        "level widths will be capped by the scan")
 
     // Scaling FIRST (clean session; later queries leave heap/thread noise).
     // Best-effort quiesce: wait (bounded) for the 1-min loadavg to settle
@@ -198,8 +227,12 @@ object Bench {
     val pinSet = (0 until math.min(8, cpus)).toSet
     val pinned = setAffinity(pinSet.toSeq.sorted.mkString(","))
     System.err.println(s"[bench] scaling pair pinned to cpus 0-${pinSet.max}: $pinned")
-    extractionPass(spark, pages4N, mid) // warmups under the pin
+    val (warmRows, warmOk) = extractionPass(spark, pages4N, mid) // warmups under the pin
     extractionPass(spark, pages4N, lo)
+    val okRate = if (warmRows == 0) 0.0 else warmOk.toDouble / warmRows
+    if (okRate < 0.999)
+      System.err.println(f"[bench] WARNING: corpus ok-rate $okRate%.4f < 0.999 — " +
+        "throughput would measure error rows, not extraction")
     val measureSet = if (pinned) pinSet else Set.empty[Int]
     val repsLo = scala.collection.mutable.ArrayBuffer.empty[Rep]
     val repsMid = scala.collection.mutable.ArrayBuffer.empty[Rep]
@@ -243,18 +276,25 @@ object Bench {
       "x17_simhash", "x14_ann_lsh", "x20_multimodal_decode", "x25_minhash_pairs",
       "x27_bpe_tokens", "x28_winnow", "x29_ann_ivf")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (name <- headline; fn <- SparkEntry.queries.get(name)) {
-      var ok = true
-      val t = timed {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          ok = false
-          System.err.println(s"[bench] $name failed: $e")
+    for (name <- headline) SparkEntry.queries.get(name) match {
+      case None =>
+        // A renamed/missing headline query must not silently vanish from
+        // the driver-contract output.
+        System.err.println(s"[bench] $name missing from SparkEntry.queries")
+        queryTimes(name) = -1.0
+        failed += name
+      case Some(fn) =>
+        var ok = true
+        val t = timed {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            ok = false
+            System.err.println(s"[bench] $name failed: $e")
+          }
         }
-      }
-      // A failed query must not masquerade as a fast success: record -1.
-      queryTimes(name) = if (ok) t else -1.0
-      if (!ok) failed += name
+        // A failed query must not masquerade as a fast success: record -1.
+        queryTimes(name) = if (ok) t else -1.0
+        if (!ok) failed += name
     }
     queryTimes(s"extract_p$lo") = tLo
     queryTimes(s"extract_p$mid") = tMid
@@ -275,10 +315,11 @@ object Bench {
     def repJson(reps: Seq[Rep]): String =
       reps.map(r => s"""{"wall":${"%.3f".formatLocal(java.util.Locale.ROOT, r.wall)},"steal":${"%.3f".formatLocal(java.util.Locale.ROOT, r.steal)},"clean":${r.clean}}""")
         .mkString("[", ",", "]")
+    val widths = Seq(lo, mid, hi).map(k => math.min(scanParts, k))
     val meta =
-      s""""pinned":$pinned,"unpinned":$unpinned,"clean_reps":[${repsLo.count(_.clean)},${repsMid.count(_.clean)},${repsHi.count(_.clean)}],"reps_lo":${repJson(repsLo.toSeq)},"reps_mid":${repJson(repsMid.toSeq)},"reps_hi":${repJson(repsHi.toSeq)}"""
+      s""""level_widths":[${widths.mkString(",")}],"ok_rate":${"%.4f".formatLocal(java.util.Locale.ROOT, okRate)},"pinned":$pinned,"unpinned":$unpinned,"clean_reps":[${repsLo.count(_.clean)},${repsMid.count(_.clean)},${repsHi.count(_.clean)}],"reps_lo":${repJson(repsLo.toSeq)},"reps_mid":${repJson(repsMid.toSeq)},"reps_hi":${repJson(repsHi.toSeq)}"""
     println(
-      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extraction":{"docs":$docs,"secs":${"%.3f".formatLocal(java.util.Locale.ROOT, tHi)},"docs_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)},"docs_per_sec_per_core":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".formatLocal(java.util.Locale.ROOT, tpLo)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpMid)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)}],"efficiency_n_to_4n":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},"efficiency_saturated":${"%.3f".formatLocal(java.util.Locale.ROOT, eff832)},"efficiency":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},$meta}}""")
+      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${jstr(sfDir)}","extraction":{"docs":$docs,"secs":${"%.3f".formatLocal(java.util.Locale.ROOT, tHi)},"docs_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)},"docs_per_sec_per_core":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".formatLocal(java.util.Locale.ROOT, tpLo)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpMid)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)}],"efficiency_n_to_4n":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},"efficiency_saturated":${"%.3f".formatLocal(java.util.Locale.ROOT, eff832)},"efficiency":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},$meta}}""")
     spark.stop()
   }
 }

@@ -20,6 +20,8 @@ object PdfFixtures {
     for (x <- data) {
       val c = x & 0xff
       if (c == '(' || c == ')' || c == '\\') { out.write('\\'); out.write(c) }
+      else if (c == '\r') { out.write('\\'); out.write('r') } // raw CR would be
+      // EOL-normalized to \n by the string parser (byte identity breaks)
       else out.write(c)
     }
     out.toByteArray
@@ -181,10 +183,13 @@ object PdfFixtures {
       s"/Length ${objstmEnc.length} >>\nstream\n"))
     out.write(objstmEnc)
     out.write(b("\nendstream\nendobj\n"))
-    // obj 5: xref stream, W [1 2 1], entries for objects 0..6
+    // obj 5: xref stream, W [1 4 1], entries for objects 0..6
     val off5 = out.size().toLong
     def row(t: Int, f2: Long, f3: Int): Array[Byte] =
-      Array[Byte](t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+      // 4-byte offsets: a 2-byte field silently truncates past 64KB and
+      // corrupts the xref for larger corpora (sHybrid's W note).
+      Array[Byte](t.toByte, ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+        ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
     val rows = Array(
       row(0, 0, 0),               // 0: free
       row(2, 6, 0),               // 1: in objstm 6, idx 0
@@ -194,7 +199,7 @@ object PdfFixtures {
       row(1, off5, 0),            // 5: the xref stream itself
       row(1, off6, 0))            // 6: objstm
     // PNG Up-predictor (filter byte 2) encode, then flate.
-    val rowLen = 4
+    val rowLen = 6
     val pred = new ByteArrayOutputStream()
     val prev = new Array[Byte](rowLen)
     for (r <- rows) {
@@ -204,8 +209,8 @@ object PdfFixtures {
       System.arraycopy(r, 0, prev, 0, rowLen)
     }
     val xrefEnc = Filters.flateEncode(pred.toByteArray)
-    out.write(b(s"5 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R " +
-      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> " +
+    out.write(b(s"5 0 obj\n<< /Type /XRef /Size 7 /W [1 4 1] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 6 >> " +
       s"/Length ${xrefEnc.length} >>\nstream\n"))
     out.write(xrefEnc)
     out.write(b("\nendstream\nendobj\n"))
@@ -349,6 +354,12 @@ object PdfFixtures {
     * (exercises the cmap.go:50-78 greedy byte decode end-to-end).
     */
   def sCmapDoc(text: String): Array[Byte] = {
+    // BMP-only: the reference decodes bfchar dst pairs as SINGLE runes (no
+    // UTF-16BE surrogate recombination, cmap/utils.go:21-33), so a
+    // supplementary-plane codepoint cannot round-trip through a CMap.
+    // Fall back to the classic-xref container for such docs — extraction
+    // stays byte-identical either way.
+    if (text.codePoints().anyMatch(cp => cp > 0xFFFF)) return s01(text)
     val cps = text.codePoints().toArray.distinct.sorted
     val code = cps.zipWithIndex.map { case (cp, i) => cp -> (i + 1) }.toMap
     val hexStr = {
@@ -727,12 +738,15 @@ object PdfFixtures {
     // obj 5: xref stream (NEVER encrypted), trailer entries inline.
     val off5 = out.size().toLong
     def row(t: Int, f2: Long, f3: Int): Array[Byte] =
-      Array[Byte](t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+      // 4-byte offsets: a 2-byte field silently truncates past 64KB and
+      // corrupts the xref for larger corpora (sHybrid's W note).
+      Array[Byte](t.toByte, ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+        ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
     val rows = Array(
       row(0, 0, 0), row(2, 6, 0), row(2, 6, 1), row(2, 6, 2),
       row(1, off4, 0), row(1, off5, 0), row(1, off6, 0), row(1, off7, 0))
     val xrefEnc = Filters.flateEncode(rows.flatten)
-    out.write(b(s"5 0 obj\n<< /Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R " +
+    out.write(b(s"5 0 obj\n<< /Type /XRef /Size 8 /W [1 4 1] /Root 1 0 R " +
       s"/Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>] " +
       s"/Filter /FlateDecode /Length ${xrefEnc.length} >>\nstream\n"))
     out.write(xrefEnc)

@@ -30,19 +30,18 @@ class PagesGenSpec extends AnyFunSuite {
     }
   }
 
-  test("non-BMP text round-trips in every variant EXCEPT the CMap one") {
+  test("non-BMP text round-trips in EVERY variant (CMap fixture falls back)") {
+    // The reference decodes bfchar dst pairs as single runes (cmap/
+    // utils.go:21-33) — a supplementary-plane codepoint CANNOT round-trip
+    // through a CMap (the kernel quirk stays pinned in CMapSpec). The
+    // fixture builder therefore authors such docs with the classic-xref
+    // container instead, so the byte-identity gate never constructs an
+    // un-round-trippable payload.
     val t = "non-BMP 𝄞 glyph" // U+1D11E musical G clef
-    for (v <- 0 until PagesGen.PdfVariants if v != 4) {
+    for (v <- 0 until PagesGen.PdfVariants) {
       val r = Extract(PagesGen.payloadFor(2000L, t, v))
       assert(r.status == "ok" && r.text == t, s"variant $v")
     }
-    // Reference quirk pin (cmap/utils.go:21-33 hexToString): every 2-byte
-    // hex pair becomes ONE rune, so a UTF-16 surrogate pair in a bfchar dst
-    // decodes as two invalid runes -> two U+FFFD. The kernel matches the
-    // reference, NOT correct UTF-16BE.
-    val r4 = Extract(PagesGen.payloadFor(2000L, t, 4))
-    assert(r4.status == "ok")
-    assert(r4.text == "non-BMP �� glyph")
   }
 
   test("html variant round-trips whitespace-normalized text") {
