@@ -450,9 +450,12 @@ object SparkEntry {
       // SQL-stateable set since the whole input fits one microbatch (file
       // source with no maxFilesPerTrigger) so no row can be late-dropped.
       val tmp = scratchDir("graft-x37")
-      // Stream the events table IN PLACE (read-only) — only the checkpoint
-      // and sink live in scratch; copying the input bought nothing.
-      graft.streaming.StreamingOps.windowedCounts(s, s"$dir/events.parquet",
+      // FileStreamSource requires a DIRECTORY (basePath) — $dir/events.parquet
+      // is a single parquet file, so stage it into a scratch input dir first.
+      // (Streaming it in place crashed with [STREAM_FAILED]; regressed in
+      // 501b540, restored per the round-3 verdict.)
+      s.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/in")
+      graft.streaming.StreamingOps.windowedCounts(s, s"$tmp/in",
         s"$tmp/ck", s"$tmp/out")
       s.read.parquet(s"$tmp/out")
         .select(unix_timestamp(col("win_start")).cast("long").as("win_epoch"),

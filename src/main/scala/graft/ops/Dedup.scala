@@ -47,7 +47,8 @@ object Dedup {
   def normalizedSurvivors(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame =
     docs.withColumn("__norm",
-      regexp_replace(trim(col(textCol), " \t\r\n\f"), "[ \\t\\r\\n\\u000B\\f]+", " "))
+      regexp_replace(trim(col(textCol), " \t\r\n\u000B\f"),
+        "[ \\t\\r\\n\\u000B\\f]+", " "))
       .groupBy(sha2(col("__norm"), 256).as("norm_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 

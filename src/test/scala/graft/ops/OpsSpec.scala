@@ -141,6 +141,15 @@ class OpsSpec extends AnyFunSuite {
     val norm = Dedup.normalizedSurvivors(docsDf(Seq((1L, "a  b"), (2L, "a b"), (3L, "c"))))
       .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
     assert(norm == Map(1L -> 2L, 3L -> 1L))
+
+    // VT (U+000B) is whitespace for BOTH the edge trim and the collapse —
+    // a VT-edged doc must merge with its plain twin (pins the trim set
+    // against TextOps.normalizeWs and the q08 DuckDB oracle).
+    val vtc = "\u000B"
+    val vt = Dedup.normalizedSurvivors(docsDf(Seq(
+        (1L, "foo bar"), (2L, "foo" + vtc + "bar"), (3L, vtc + "foo bar" + vtc))))
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(vt == Map(1L -> 3L))
   }
 
   test("language id heuristic") {
