@@ -262,23 +262,35 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // Seed = the single-pass min-neighbor labels (identical to one
+    // propagation round from identity labels, at the cost of one groupBy
+    // instead of a join + groupBy) — saves a full round on every graph.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .localCheckpoint()
     var converged = false
-    var iter = 0
+    var iter = 1 // the seed IS round 1
     while (!converged && iter < maxIter) {
-      // candidate label per vertex = min(own, min over neighbors' labels)
+      // Candidate label per vertex = min(own, min over neighbors' labels).
+      // The vertex's previous label rides along in the same aggregation
+      // (tagged via `self`; every id has exactly one self row), so
+      // convergence is read off the checkpointed result with a cheap
+      // filter-scan — no second join, no re-execution.
       val fromNbrs = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(fromNbrs)
-        .groupBy("id").agg(min("label").as("label")).localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      // The prior round's checkpointed blocks are dead once `changed` is
-      // computed — release them instead of letting maxIter copies of the
-      // vertex set pile up in executor storage memory.
+        .select(col("dst").as("id"), col("label"), lit(false).as("self"))
+      val stepped = labels.withColumn("self", lit(true))
+        .unionByName(fromNbrs)
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          min(when(col("self"), col("label"))).as("prev"))
+        .localCheckpoint()
+      val changed = stepped.filter(col("label") =!= col("prev")).limit(1).count()
+      // The prior round's checkpointed blocks are dead once `stepped` is
+      // materialized — release them instead of letting maxIter copies of
+      // the vertex set pile up in executor storage memory.
       labels.unpersist(blocking = false)
-      labels = next
+      labels = stepped.select("id", "label")
       converged = changed == 0
       iter += 1
     }
