@@ -317,15 +317,21 @@ object SparkEntry {
     }),
     "x18_langid" -> ((s, dir) => {
       import s.implicits._
-      // Deterministic per-language stopword-rich docs synthesized from
-      // doc_id: the detector MUST recover the planted language (the lists
-      // overlap across languages by < 5 words, so the planted one always
-      // scores highest). Oracle = the same doc_id arithmetic in SQL.
-      val langs = Seq("en", "de", "fr", "es")
+      // Deterministic per-language docs synthesized from doc_id, one of the
+      // 29 detectable languages each: stopword languages plant their full
+      // rotated stopword list (score 20 for the planted language vs strict
+      // overlap < 20 for every other, so the vote always recovers it);
+      // script languages plant their rotated ScriptSamples phrase (resolved
+      // by the dominant-script pre-pass). Oracle = the same doc_id -> lang
+      // arithmetic in SQL.
+      val langs = TextOps.AllLangs
       val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
         .map { id =>
-          val lang = langs((id % 4).toInt)
-          val words = TextOps.stopwords(lang).toSeq.sorted
+          val lang = langs((id % langs.length).toInt)
+          val words = TextOps.stopwords.get(lang) match {
+            case Some(set) => set.toSeq.sorted
+            case None      => TextOps.ScriptSamples(lang).split(" ").toSeq
+          }
           val k = (id % words.length).toInt
           (id, (words.drop(k) ++ words.take(k)).mkString(" "))
         }.toDF("doc_id", "text")
@@ -743,8 +749,10 @@ object SparkEntry {
         "FROM sim a JOIN sim b ON a.doc_id < b.doc_id) " +
         "SELECT a, b, hamming FROM p WHERE hamming <= 3 ORDER BY a, b"),
     "x18_langid" ->
-      ("SELECT doc_id, CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' " +
-        "WHEN 2 THEN 'fr' ELSE 'es' END AS lang_pred FROM documents ORDER BY doc_id"),
+      ("SELECT doc_id, CASE CAST(doc_id % " + graft.ops.TextOps.AllLangs.length + " AS INT) " +
+        graft.ops.TextOps.AllLangs.zipWithIndex
+          .map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ") +
+        " ELSE 'und' END AS lang_pred FROM documents ORDER BY doc_id"),
     "x19_fingerprint" ->
       ("WITH n AS (SELECT doc_id, regexp_replace(trim(text, ' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12)), " +
         "'[ \\t\\r\\n\\x0B\\f]+', ' ', 'g') AS norm FROM documents), " +

@@ -49,8 +49,11 @@ object TextOps {
 
   // ------------------------------------------------------------ language ID
 
-  /** Tiny deterministic stopword tables for the n-gram/stopword heuristic.
-    * Public-knowledge lists (most frequent function words).
+  /** Deterministic stopword tables for the stopword-vote heuristic —
+    * public-knowledge lists of each language's most frequent function
+    * words. 18 Latin-script + 2 Cyrillic-script languages; the vote is
+    * restricted to the dominant script's candidates (see detectLang), so
+    * e.g. a Russian page never scores against Swedish.
     */
   val stopwords: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "was",
@@ -60,19 +63,138 @@ object TextOps {
     "fr" -> Set("le", "la", "les", "et", "de", "des", "un", "une", "est", "que",
       "pour", "dans", "qui", "sur", "pas", "au", "ce", "il", "avec", "son"),
     "es" -> Set("el", "la", "los", "las", "y", "de", "que", "en", "un", "una",
-      "es", "por", "con", "para", "del", "se", "no", "su", "al", "lo"))
+      "es", "por", "con", "para", "del", "se", "no", "su", "al", "lo"),
+    "pt" -> Set("o", "os", "uma", "do", "da", "em", "para", "com", "não", "por",
+      "mais", "como", "mas", "foi", "ele", "das", "dos", "ao", "seu", "já"),
+    "it" -> Set("il", "lo", "gli", "di", "che", "e", "per", "con", "non", "una",
+      "del", "della", "nel", "sono", "ma", "si", "come", "più", "anche", "questo"),
+    "nl" -> Set("de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+      "zijn", "met", "voor", "niet", "aan", "er", "ook", "als", "maar", "om"),
+    "pl" -> Set("i", "w", "na", "z", "do", "się", "nie", "jest", "że", "to",
+      "jak", "po", "co", "tak", "za", "od", "ale", "przez", "było", "przy"),
+    "sv" -> Set("och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
+      "den", "till", "inte", "om", "har", "du", "jag", "ett", "men", "var"),
+    "da" -> Set("og", "i", "det", "at", "en", "den", "til", "er", "som", "på",
+      "de", "med", "han", "af", "for", "ikke", "der", "var", "jeg", "men"),
+    "no" -> Set("og", "i", "det", "som", "er", "en", "til", "på", "av", "at",
+      "han", "med", "for", "ikke", "den", "der", "så", "seg", "men", "om"),
+    "fi" -> Set("ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "joka",
+      "kun", "niin", "ovat", "myös", "jos", "sen", "mukaan", "kuin", "vain", "nyt", "tämä"),
+    "cs" -> Set("a", "se", "na", "je", "v", "že", "s", "z", "do", "to",
+      "jako", "by", "ale", "i", "o", "k", "po", "pro", "za", "jsem"),
+    "ro" -> Set("și", "de", "la", "a", "în", "cu", "pe", "este", "o", "că",
+      "nu", "din", "se", "un", "pentru", "mai", "sau", "dar", "ca", "fi"),
+    "hu" -> Set("a", "az", "és", "hogy", "nem", "is", "egy", "meg", "de", "ha",
+      "már", "csak", "mint", "még", "el", "volt", "van", "lesz", "ki", "mert"),
+    "tr" -> Set("bir", "ve", "bu", "da", "ne", "için", "ile", "olarak", "daha",
+      "çok", "ama", "gibi", "en", "kadar", "sonra", "o", "ki", "mi", "değil", "her"),
+    "ca" -> Set("el", "la", "els", "les", "i", "de", "que", "en", "un", "una",
+      "és", "per", "amb", "no", "més", "dels", "als", "ho", "aquest", "també"),
+    "id" -> Set("yang", "dan", "di", "ini", "itu", "dengan", "untuk", "tidak",
+      "dari", "dalam", "akan", "pada", "juga", "ada", "adalah", "ke", "karena", "oleh", "saya", "kita"),
+    "ru" -> Set("и", "в", "не", "на", "я", "что", "с", "он", "как", "это",
+      "по", "но", "они", "мы", "из", "у", "за", "был", "для", "же"),
+    "uk" -> Set("і", "в", "не", "на", "що", "з", "він", "як", "це", "по",
+      "але", "вони", "ми", "із", "у", "за", "був", "для", "ж", "та"))
 
-  /** Score a text against each language's stopword table; best count wins
-    * ("und" for unknown/tie-at-zero). Deterministic.
+  /** Stopword-vote candidates per script. */
+  val LatinLangs: Seq[String] =
+    (stopwords.keySet -- Set("ru", "uk")).toSeq.sorted
+  val CyrillicLangs: Seq[String] = Seq("ru", "uk")
+
+  /** Languages resolved by dominant script alone (no stopword table):
+    * zh/ja/ko/ar/fa/he/el/hi/th.
+    */
+  val ScriptLangs: Seq[String] =
+    Seq("zh", "ja", "ko", "ar", "fa", "he", "el", "hi", "th")
+
+  /** Every language the detector can emit (besides "und"), fixed order —
+    * the x18 gate plants one doc per language from this list.
+    */
+  val AllLangs: Seq[String] = stopwords.keys.toSeq.sorted ++ ScriptLangs
+
+  /** Deterministic sample phrases for the script-determined languages
+    * (used by the x18 planting and unit tests; common words per language).
+    */
+  val ScriptSamples: Map[String, String] = Map(
+    "zh" -> "的 一 是 在 不 了 有 和 人 这 中 大 为 上 个",
+    "ja" -> "これ は 日本語 の 文章 です よ ね から まで",
+    "ko" -> "이것 은 한국어 문장 입니다 그리고 우리 모두 좋다",
+    "ar" -> "هذا نص عربي بسيط جدا من اجل الاختبار فقط",
+    "fa" -> "این یک متن فارسی است با پژوهش و گچ چوب ژرف",
+    "he" -> "זהו טקסט בעברית פשוט מאוד רק בשביל בדיקה",
+    "el" -> "αυτό είναι ένα απλό ελληνικό κείμενο για δοκιμή",
+    "hi" -> "यह एक सरल हिंदी वाक्य है जो केवल परीक्षण के लिए",
+    "th" -> "นี่ คือ ข้อความ ภาษาไทย ง่าย มาก สำหรับ ทดสอบ")
+
+  /** Stopword vote restricted to `langs`; best count wins, ties broken by
+    * language code (deterministic); None when nothing matched.
+    */
+  private def stopwordVote(text: String, langs: Seq[String]): Option[String] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(2000)
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    for (t <- toks; l <- langs if stopwords(l).contains(t))
+      counts(l) = counts.getOrElse(l, 0) + 1
+    if (counts.isEmpty) None
+    else Some(counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1)
+  }
+
+  /** Language ID: dominant-script pre-pass, then a stopword vote within the
+    * script's candidates. Scripts that pin a language (Han w/o kana => zh,
+    * kana => ja, Hangul => ko, Greek/Hebrew/Thai/Devanagari likewise,
+    * Arabic => fa when Persian-only letters are present else ar) resolve
+    * without stopwords — which is what makes space-free zh/ja/th text
+    * detectable at all. Wholly deterministic (integer thresholds, fixed
+    * tie-breaks); "und" when no script dominates or no stopword matches.
     */
   def detectLang(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(2000)
-    val counts = scala.collection.mutable.HashMap.empty[String, Int]
-    for (t <- toks; (lang, set) <- stopwords if set.contains(t))
-      counts(lang) = counts.getOrElse(lang, 0) + 1
-    if (counts.isEmpty) "und"
-    else counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+    import Character.UnicodeScript
+    var latin = 0; var cyr = 0; var han = 0; var kana = 0; var hangul = 0
+    var greek = 0; var arab = 0; var heb = 0; var deva = 0; var thai = 0
+    var other = 0
+    var hasFa = false
+    var i = 0
+    var seen = 0
+    while (i < text.length && seen < 4000) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        seen += 1
+        UnicodeScript.of(cp) match {
+          case UnicodeScript.LATIN      => latin += 1
+          case UnicodeScript.CYRILLIC   => cyr += 1
+          case UnicodeScript.HAN        => han += 1
+          case UnicodeScript.HIRAGANA | UnicodeScript.KATAKANA => kana += 1
+          case UnicodeScript.HANGUL     => hangul += 1
+          case UnicodeScript.GREEK      => greek += 1
+          case UnicodeScript.ARABIC     =>
+            arab += 1
+            // Persian-only letters: pe, che, zhe, gaf
+            if (cp == 'پ' || cp == 'چ' || cp == 'ژ' || cp == 'گ') hasFa = true
+          case UnicodeScript.HEBREW     => heb += 1
+          case UnicodeScript.DEVANAGARI => deva += 1
+          case UnicodeScript.THAI       => thai += 1
+          case _                        => other += 1
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    val total = latin + cyr + han + kana + hangul + greek + arab + heb +
+      deva + thai + other
+    if (total == 0) return "und"
+    def dom(c: Int): Boolean = 2 * c >= total
+    if (kana * 20 >= total && dom(han + kana)) "ja"
+    else if (dom(han)) "zh"
+    else if (dom(hangul)) "ko"
+    else if (dom(greek)) "el"
+    else if (dom(heb)) "he"
+    else if (dom(deva)) "hi"
+    else if (dom(thai)) "th"
+    else if (dom(arab)) { if (hasFa) "fa" else "ar" }
+    else if (dom(cyr)) stopwordVote(text, CyrillicLangs).getOrElse("ru")
+    else if (dom(latin)) stopwordVote(text, LatinLangs).getOrElse("und")
+    else "und"
   }
 
   def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {

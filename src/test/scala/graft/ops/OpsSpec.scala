@@ -152,13 +152,59 @@ class OpsSpec extends AnyFunSuite {
     assert(vt == Map(1L -> 3L))
   }
 
-  test("language id heuristic") {
-    assert(TextOps.detectLang("the cat sat on the mat and it was happy with this") == "en")
-    assert(TextOps.detectLang("der Hund ist nicht mit der Katze und das ist auch gut") == "de")
-    assert(TextOps.detectLang("le chat est dans la maison et il est avec son ami") == "fr")
-    assert(TextOps.detectLang("el perro es grande y la casa es de madera para su familia") == "es")
+  test("language id heuristic: natural sentence per language") {
+    val samples = Seq(
+      "en" -> "the cat sat on the mat and it was happy with this",
+      "de" -> "der Hund ist nicht mit der Katze und das ist auch gut",
+      "fr" -> "le chat est dans la maison et il est avec son ami",
+      "es" -> "el perro es grande y la casa es de madera para su familia",
+      "pt" -> "o menino foi para casa com o seu pai mas não com mais ninguém do bairro",
+      "it" -> "il ragazzo non è come questo ma è anche più bravo di tutti e sono contento",
+      "nl" -> "het is niet goed dat de man met een fiets op de weg staat maar ook niet erg",
+      "pl" -> "to nie jest tak jak było ale się da zrobić przez to że mamy czas i chęci",
+      "sv" -> "det är inte bra att du och jag inte har en plan för det men vi har ett hus",
+      "da" -> "jeg var ikke glad for det af den grund men han var der og det er godt",
+      "no" -> "han så seg om og gikk av sted for å finne noe mer der borte i det fri",
+      "fi" -> "se on hyvä että hän oli siellä kun me tulimme ja niin se myös jää nyt",
+      "cs" -> "to je na stole a já jsem se po ránu dal do práce pro radost že ano",
+      "ro" -> "este un lucru bun că nu am mai fost la el cu ea din sat și de acolo pe jos",
+      "hu" -> "ez nem az a ház ami már csak volt és el kell még menni ha van idő mert jó",
+      "tr" -> "bu ev çok güzel ama daha iyi bir yer var ve o kadar da uzak değil gibi her zaman",
+      "ca" -> "els nens i les nenes van anar amb el seu avi a la platja més bonica que hi ha",
+      "id" -> "saya akan pergi ke pasar dengan dia untuk membeli yang baru dan itu juga ada di sana",
+      "ru" -> "я не знал что он был там и мы пошли за ним по дороге из дома для того же",
+      "uk" -> "він був там і ми пішли за ним та це не так як у нас для того ж",
+      "zh" -> "这是一个简单的中文测试文本没有空格也可以",
+      "ja" -> "これは日本語のテストですよね漢字もあります",
+      "ko" -> "이것은 한국어 문장입니다 그리고 아주 좋습니다",
+      "ar" -> "هذا نص عربي بسيط جدا للاختبار فقط",
+      "fa" -> "این یک متن فارسی است با پژوهش و گچ",
+      "he" -> "זהו טקסט פשוט בעברית לבדיקה בלבד",
+      "el" -> "αυτό είναι ένα απλό κείμενο στα ελληνικά",
+      "hi" -> "यह एक सरल हिंदी वाक्य है परीक्षण के लिए",
+      "th" -> "นี่คือข้อความภาษาไทยสำหรับทดสอบ")
+    for ((lang, text) <- samples)
+      assert(TextOps.detectLang(text) == lang,
+        s"expected $lang for: $text (got ${TextOps.detectLang(text)})")
     assert(TextOps.detectLang("xyzzy plugh") == "und")
     assert(TextOps.detectLang("") == "und")
+    assert(TextOps.detectLang("12345 !!! 678") == "und")
+  }
+
+  test("x18 planting recovers every one of the 29 planted languages") {
+    // Mirrors the x18 gate's synthesis exactly: full rotated stopword list
+    // (or ScriptSamples phrase) per language — the detector must return the
+    // planted language for EVERY rotation class it will see.
+    for ((lang, _) <- TextOps.AllLangs.zipWithIndex; k <- Seq(0, 3, 7)) {
+      val words = TextOps.stopwords.get(lang).map(_.toSeq.sorted)
+        .getOrElse(TextOps.ScriptSamples(lang).split(" ").toSeq)
+      val kk = k % words.length
+      val text = (words.drop(kk) ++ words.take(kk)).mkString(" ")
+      assert(TextOps.detectLang(text) == lang,
+        s"planted $lang rot $kk -> ${TextOps.detectLang(text)}")
+    }
+    assert(TextOps.AllLangs.length == 29)
+    assert(TextOps.AllLangs.distinct.length == TextOps.AllLangs.length)
   }
 
   test("fingerprint64 is whitespace-normalization invariant") {
