@@ -32,6 +32,45 @@ object SparkEntry {
     dir
   }
 
+  /** x39 fixture: an 8-rule merges table in the public GPT-2 merges.txt
+    * format (line order = rank).
+    */
+  private[graft] val DemoMerges: String =
+    """#version: 0.2
+      |t h
+      |th e
+      |i n
+      |a n
+      |an d
+      |e r
+      |in g
+      |o u""".stripMargin
+
+  /** x39 fixture word bank. */
+  private[graft] val BpeBank: Vector[String] = Vector(
+    "the", "thin", "and", "other", "ring", "under",
+    "banana", "thing", "south", "thethe", "nineteen", "around")
+
+  /** HAND-TRACED token counts for BpeBank under DemoMerges (worked on
+    * paper, rank-greedy + merge-all-occurrences; these deliberately do NOT
+    * call bpeEncode — they are the independent ground truth the oracle
+    * uses, and BpeSpec pins the full token sequences):
+    *   the      t,h,e -> th,e -> [the]                          = 1
+    *   thin     t,h,i,n -> th,i,n -> [th,in]                    = 2
+    *   and      a,n,d -> an,d -> [and]                          = 1
+    *   other    o,t,h,e,r -> o,th,e,r -> [o,the,r]              = 3
+    *   ring     r,i,n,g -> r,in,g -> [r,ing]                    = 2
+    *   under    u,n,d,e,r -> [u,n,d,er]                         = 4
+    *   banana   b,a,n,a,n,a -> [b,an,an,a] (merge-all L2R)      = 4
+    *   thing    t,h,i,n,g -> th,i,n,g -> th,in,g -> [th,ing]    = 2
+    *   south    s,o,u,t,h -> s,o,u,th -> [s,ou,th]              = 3
+    *   thethe   t,h,e,t,h,e -> th,e,th,e -> [the,the]           = 2
+    *   nineteen n,i,n,e,t,e,e,n -> [n,in,e,t,e,e,n]             = 7
+    *   around   a,r,o,u,n,d -> [a,r,ou,n,d]                     = 5
+    */
+  private[graft] val BpeBankCounts: Vector[Int] =
+    Vector(1, 2, 1, 3, 2, 4, 4, 2, 3, 2, 7, 5)
+
   /** Flagship: the full extraction pipeline (dedup -> salted mapPartitions
     * kernel) over a mixed PDF/HTML corpus synthesized from sf0.001.
     */
@@ -393,6 +432,29 @@ object SparkEntry {
       // computed as codegen'd SQL on both engines — no UDF, no hashing.
       Dedup.withCharNgramCount(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("n_5grams").cast("long").as("n_5grams"))
+        .orderBy("doc_id")
+    }),
+
+    "x39_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      // REAL merges-based BPE through the gate: deterministic 12-word docs
+      // synthesized from doc_id over BpeBank, encoded by the rank-greedy
+      // merge loop (TextOps.bpeEncode) against the 8-rule DemoMerges table.
+      // The oracle mirrors the doc_id -> word arithmetic with HAND-TRACED
+      // per-word token counts (BpeBankCounts — derived on paper, not by
+      // running the encoder), so a merge-order or merge-all-occurrences bug
+      // breaks the hash.
+      val ranks = graft.ops.TextOps.parseMerges(DemoMerges)
+        .zipWithIndex.map { case (p, i) => p -> i }.toMap
+      val bank = BpeBank
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .map { id =>
+          val words = (0 until 12).map(j => bank(((id + j * 7) % bank.length).toInt))
+          (id, words.mkString(" "))
+        }.toDF("doc_id", "text")
+      val cnt = udf((t: String) =>
+        t.split(" ").iterator.map(w => graft.ops.TextOps.bpeEncode(w, ranks).length).sum.toLong)
+      docs.select(col("doc_id"), cnt(col("text")).as("n_merge_tokens"))
         .orderBy("doc_id")
     }),
     "x26_simhash_pairs" -> ((s, dir) => {
@@ -795,6 +857,16 @@ object SparkEntry {
         "ELSE len(list_distinct(list_transform(range(1, length(lower(text)) - 3), " +
         "i -> substring(lower(text), CAST(i AS INT), 5)))) END AS BIGINT) AS n_5grams " +
         "FROM documents ORDER BY doc_id"),
+    "x39_bpe_merges" -> {
+      // Mirrors x39's doc_id -> 12-word synthesis with the HAND-TRACED
+      // per-word counts (BpeBankCounts) — fully independent of bpeEncode.
+      val cases = BpeBankCounts.zipWithIndex
+        .map { case (c, i) => s"WHEN $i THEN $c" }.mkString(" ")
+      val terms = (0 until 12)
+        .map(j => s"(CASE CAST((doc_id + ${j * 7}) % ${BpeBank.length} AS INT) $cases END)")
+        .mkString(" + ")
+      s"SELECT doc_id, CAST($terms AS BIGINT) AS n_merge_tokens FROM documents ORDER BY doc_id"
+    },
     "x35_stream_dedup" ->
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM " +
         "(SELECT DISTINCT user_id, ts FROM events) GROUP BY 1 ORDER BY 1"),

@@ -34,6 +34,78 @@ object TextOps {
     df.withColumn("n_bpe_tokens",
       size(regexp_extract_all(lower(col(textCol)), lit(BpeTokenPattern), lit(0))))
 
+  // ------------------------------------------------- merges-based BPE (real)
+
+  /** Parse a GPT-2-format merges file ("a b" per line, '#'-comments
+    * skipped); line order IS merge priority (rank).
+    */
+  def parseMerges(txt: String): Vector[(String, String)] =
+    txt.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ", 2)
+        (sp(0), sp(1))
+      }.toVector
+
+  /** Real byte-pair-encoding of one pre-token against a merge-rank table:
+    * start from single characters, repeatedly pick the adjacent pair with
+    * the LOWEST rank and merge ALL its occurrences left-to-right (skip
+    * after each merge, so "aaa" with (a,a) becomes [aa, a]) — the standard
+    * Sennrich/GPT-2 merge loop (char-level rather than byte-level: no
+    * byte<->unicode remapping table is needed for counting). Deterministic;
+    * terminates (token count strictly decreases).
+    */
+  def bpeEncode(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    if (word.isEmpty) return Vector.empty
+    var toks: Vector[String] = word.map(_.toString).toVector
+    var done = false
+    while (!done && toks.length > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val a = toks(bi)
+        val b = toks(bi + 1)
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.result()
+      }
+    }
+    toks
+  }
+
+  /** Merges-based BPE token count over full text: lowercase, pre-tokenize
+    * with the regex pre-tokenizer, encode each pre-token (whitespace runs
+    * collapse to pre-tokens too and count like GPT-2's). Production token
+    * budgeting against a real vocab: pass the tokenizer's merges.txt.
+    */
+  def withBpeMergeCount(df: DataFrame, mergesTxt: String,
+                        textCol: String = "text"): DataFrame = {
+    val ranks = parseMerges(mergesTxt).zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val pat = java.util.regex.Pattern.compile(BpeTokenPattern)
+    val f = udf((s: String) => {
+      if (s == null) 0
+      else {
+        val m = pat.matcher(s.toLowerCase(java.util.Locale.ROOT))
+        var n = 0
+        while (m.find()) n += bpeEncode(m.group(), ranks).length
+        n
+      }
+    })
+    df.withColumn("n_merge_tokens", f(col(textCol)))
+  }
+
   /** Quality-score columns: length, words, punctuation count, digit count,
     * uppercase ratio proxy, mean word length. Integer-valued where the
     * DuckDB oracle compares exactly.

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Merges-based BPE: the encoder must reproduce hand-traced token
+  * SEQUENCES (not just counts) under the x39 fixture merge table —
+  * rank-greedy pair choice, merge-ALL-occurrences with left-to-right skip,
+  * chained merges (th+e -> the), and overlap handling ("aaa").
+  */
+class BpeSpec extends AnyFunSuite {
+
+  private val ranks = TextOps.parseMerges(SparkEntry.DemoMerges)
+    .zipWithIndex.map { case (p, i) => p -> i }.toMap
+
+  test("parseMerges reads GPT-2 format in rank order, skipping comments") {
+    val m = TextOps.parseMerges(SparkEntry.DemoMerges)
+    assert(m.length == 8)
+    assert(m.head == ("t", "h"))
+    assert(m(4) == ("an", "d"))
+    assert(m.last == ("o", "u"))
+  }
+
+  test("bpeEncode matches hand-traced sequences for the x39 word bank") {
+    val expected = Map(
+      "the" -> Vector("the"),
+      "thin" -> Vector("th", "in"),
+      "and" -> Vector("and"),
+      "other" -> Vector("o", "the", "r"),
+      "ring" -> Vector("r", "ing"),
+      "under" -> Vector("u", "n", "d", "er"),
+      "banana" -> Vector("b", "an", "an", "a"),
+      "thing" -> Vector("th", "ing"),
+      "south" -> Vector("s", "ou", "th"),
+      "thethe" -> Vector("the", "the"),
+      "nineteen" -> Vector("n", "in", "e", "t", "e", "e", "n"),
+      "around" -> Vector("a", "r", "ou", "n", "d"))
+    for ((w, toks) <- expected)
+      assert(TextOps.bpeEncode(w, ranks) == toks, s"word $w")
+    // the bank's hand-traced count table agrees with the hand-traced seqs
+    assert(SparkEntry.BpeBank.map(w => expected(w).length) == SparkEntry.BpeBankCounts)
+  }
+
+  test("merge-all-occurrences uses left-to-right skip on overlaps") {
+    val r = Map(("a", "a") -> 0)
+    assert(TextOps.bpeEncode("aaa", r) == Vector("aa", "a"))
+    assert(TextOps.bpeEncode("aaaa", r) == Vector("aa", "aa")) // no (aa,aa) rule
+  }
+
+  test("rank order decides between competing pairs") {
+    // "ner": with (n,e) better than (e,r) the result differs from DemoMerges
+    val r1 = Map(("n", "e") -> 0, ("e", "r") -> 1)
+    assert(TextOps.bpeEncode("ner", r1) == Vector("ne", "r"))
+    val r2 = Map(("n", "e") -> 1, ("e", "r") -> 0)
+    assert(TextOps.bpeEncode("ner", r2) == Vector("n", "er"))
+  }
+
+  test("empty and single-char inputs") {
+    assert(TextOps.bpeEncode("", ranks) == Vector.empty)
+    assert(TextOps.bpeEncode("x", ranks) == Vector("x"))
+  }
+
+  test("withBpeMergeCount: pre-tokenize then encode, over a DataFrame") {
+    val spark = graft.spark.SparkTestBase.spark
+    import spark.implicits._
+    // "The thing" -> pre-tokens [the, " thing"... ] under the GPT-2-shape
+    // regex: "the"(1) + " thing"->space-prefixed letters " thing" is ONE
+    // pre-token whose chars include the space: ' ',t,h,i,n,g -> no merge
+    // touches the leading space -> [" ", th, ing]? hand-trace: pairs
+    // (' ',t),(t,h)... best rank (t,h): ' ',th,i,n,g -> (i,n): ' ',th,in,g
+    // -> (in,g): ' ',th,ing = 3 tokens. Total 1 + 3 = 4.
+    val df = Seq((1L, "The thing"), (2L, ""), (3L, "banana")).toDF("doc_id", "text")
+    val got = TextOps.withBpeMergeCount(df, SparkEntry.DemoMerges)
+      .select("doc_id", "n_merge_tokens")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 4, 2L -> 0, 3L -> 4))
+  }
+}
