@@ -457,6 +457,21 @@ object SparkEntry {
       docs.select(col("doc_id"), cnt(col("text")).as("n_merge_tokens"))
         .orderBy("doc_id")
     }),
+
+    "x40_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      // REAL ImageIO decode through the gate: lossless gray PNGs authored
+      // deterministically from doc_id (pixel = (x+y+id) mod 256), decoded
+      // back through the production decodeImages path. The oracle
+      // recomputes width/height/pixel-count/band-0 sum from the same
+      // doc_id arithmetic — raw raster reads keep the decoder integer-
+      // exact, so any real-decode defect breaks the hash.
+      val rows = s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .map(id => Multimodal.MediaRow(id, Multimodal.syntheticPng(id), "image"))
+      Multimodal.decodeImages(rows).toDF()
+        .select("doc_id", "width", "height", "n_pixels", "sum_band0")
+        .orderBy("doc_id")
+    }),
     "x26_simhash_pairs" -> ((s, dir) => {
       // Exact hamming<=3 pairs (pigeonhole block-combo scheme); oracle is
       // all-pairs bit_count(xor) over the FNV-based simhashes in DuckDB.
@@ -867,6 +882,12 @@ object SparkEntry {
         .mkString(" + ")
       s"SELECT doc_id, CAST($terms AS BIGINT) AS n_merge_tokens FROM documents ORDER BY doc_id"
     },
+    "x40_image_decode" ->
+      ("WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 7) % 16 AS h FROM documents) " +
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(w * h AS BIGINT) AS n_pixels, " +
+        "CAST(list_sum(list_transform(range(0, w * h), i -> ((i % w) + (i // w) + doc_id) % 256)) AS BIGINT) AS sum_band0 " +
+        "FROM d ORDER BY doc_id"),
     "x35_stream_dedup" ->
       ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM " +
         "(SELECT DISTINCT user_id, ts FROM events) GROUP BY 1 ORDER BY 1"),

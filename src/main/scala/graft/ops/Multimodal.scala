@@ -6,18 +6,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: images/audio/video ride as opaque `binary`
   * columns with typed metadata, processed in batched per-partition passes.
   *
-  * The actual media codecs are NOT in this container, so the decode kernel
-  * below is a clearly-marked DETERMINISTIC FAKE (it parses our own synthetic
-  * header and derives features from the payload bytes). Everything around
-  * it — the binary column, schema, mapPartitions batching, partition
-  * strategy — is the real production shape: swapping `fakeDecode` for a
-  * JNI/FFmpeg/libjpeg call changes nothing else.
+  * IMAGES decode for real: payloads whose magic says PNG/JPEG/GIF/BMP go
+  * through the JDK's ImageIO (`imageDecode` — the same decoder family the
+  * PDF kernel's DCT filter already uses), producing true width/height and
+  * band-0 pixel statistics. Audio/video codecs are NOT in this container,
+  * so their decode kernel remains a clearly-marked DETERMINISTIC FAKE (it
+  * parses our own synthetic header and derives features from the payload
+  * bytes). Everything around both — the binary column, schema,
+  * mapPartitions batching, partition strategy — is the real production
+  * shape: swapping `fakeDecode` for an FFmpeg call changes nothing else.
   */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], kind: String)
   final case class MediaMeta(doc_id: Long, kind: String, width: Int, height: Int,
                              n_bytes: Long, mean_byte: Double, features: Array[Float])
+  final case class ImageMeta(doc_id: Long, width: Int, height: Int,
+                             n_pixels: Long, sum_band0: Long)
 
   /** Synthesize a deterministic media blob: [magic u8][w u16][h u16][pixels]. */
   def syntheticMedia(docId: Long, kind: String): Array[Byte] = {
@@ -57,6 +62,76 @@ object Multimodal {
     (w, h, sum.toDouble / n, hist.map(c => c.toFloat / n))
   }
 
+  /** Author a REAL PNG (JDK ImageIO, lossless) with deterministic gray
+    * pixels: value(x,y) = (x + y + docId) mod 256 over a
+    * (8 + docId%24) x (8 + (docId/7)%16) raster. Because PNG is lossless,
+    * the decoded samples are exactly the authored formula — which is what
+    * lets the x40 gate mirror REAL-decoder output in SQL arithmetic.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 24).toInt
+    val h = 8 + ((docId / 7) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((x + y + docId) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** True iff the payload's magic number is a format ImageIO handles
+    * (PNG / JPEG / GIF / BMP).
+    */
+  def looksLikeRealImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      ((((b(0) & 0xff) == 0x89) && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
+  /** REAL image decode via JDK ImageIO. Statistics read from RAW raster
+    * band 0 (not getRGB — TYPE_BYTE_GRAY getRGB applies a gray->sRGB
+    * gamma conversion that would break bit-exactness): returns
+    * (width, height, band-0 sample sum, 8-bin band-0 histogram), or None
+    * when ImageIO cannot parse the payload.
+    */
+  def imageDecode(media: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+    if (media == null || media.length < 4) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0) & 0xff
+          sum += v
+          hist(v >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1L, w.toLong * h)
+      Some((w, h, sum, hist.map(c => c.toFloat / n)))
+    }
+  }
+
   /** documents -> synthetic media table (binary column + metadata). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -76,9 +151,35 @@ object Multimodal {
     media.mapPartitions { it =>
       // (real pipelines initialize the codec once per partition here)
       it.map { row =>
-        val (w, h, mean, feats) = fakeDecode(row.media)
-        MediaMeta(row.doc_id, row.kind, w, h,
-          if (row.media == null) 0L else row.media.length.toLong, mean, feats)
+        val nBytes = if (row.media == null) 0L else row.media.length.toLong
+        val real =
+          if (looksLikeRealImage(row.media)) imageDecode(row.media) else None
+        real match {
+          case Some((w, h, sum, feats)) =>
+            MediaMeta(row.doc_id, row.kind, w, h, nBytes,
+              sum.toDouble / math.max(1L, w.toLong * h), feats)
+          case None =>
+            val (w, h, mean, feats) = fakeDecode(row.media)
+            MediaMeta(row.doc_id, row.kind, w, h, nBytes, mean, feats)
+        }
+      }
+    }
+  }
+
+  /** REAL-decode gate path: decode a real-image dataset to integer-exact
+    * raster statistics (band-0 sum / pixel count) — the arithmetic the x40
+    * oracle mirrors. Rows ImageIO cannot parse come back as zeros (the
+    * fixture corpus always parses).
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        imageDecode(row.media) match {
+          case Some((w, h, sum, _)) =>
+            ImageMeta(row.doc_id, w, h, w.toLong * h, sum)
+          case None => ImageMeta(row.doc_id, 0, 0, 0L, 0L)
+        }
       }
     }
   }

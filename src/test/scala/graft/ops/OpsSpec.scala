@@ -252,6 +252,38 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.intersect(lsh).nonEmpty)
   }
 
+  test("real image decode: authored PNG round-trips exact raster stats") {
+    for (id <- Seq(0L, 7L, 41L, 123L)) {
+      val png = Multimodal.syntheticPng(id)
+      assert(Multimodal.looksLikeRealImage(png))
+      val Some((w, h, sum, hist)) = Multimodal.imageDecode(png)
+      val ew = 8 + (id % 24).toInt
+      val eh = 8 + ((id / 7) % 16).toInt
+      assert(w == ew && h == eh)
+      val esum = (for (y <- 0 until eh; x <- 0 until ew) yield (x + y + id) % 256).sum
+      assert(sum == esum, s"id $id")
+      assert(math.abs(hist.sum - 1.0f) < 1e-5)
+    }
+    // non-image bytes are rejected, not crashed on
+    assert(Multimodal.imageDecode("not an image".getBytes).isEmpty)
+    assert(Multimodal.imageDecode(null).isEmpty)
+    assert(!Multimodal.looksLikeRealImage(Multimodal.syntheticMedia(5L, "image")))
+  }
+
+  test("decodeFeatures dispatches real images to ImageIO, fakes elsewhere") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticPng(1L), "image"),
+      Multimodal.MediaRow(2L, Multimodal.syntheticMedia(2L, "audio"), "audio"))
+    val got = Multimodal.decodeFeatures(rows.toDS()).collect()
+      .map(m => m.doc_id -> m).toMap
+    // real PNG: true dims from ImageIO
+    assert(got(1L).width == 8 + 1 && got(1L).height == 8)
+    // synthetic audio blob: fake-decoder dims from OUR header
+    val (fw, fh, _, _) = Multimodal.fakeDecode(Multimodal.syntheticMedia(2L, "audio"))
+    assert(got(2L).width == fw && got(2L).height == fh)
+  }
+
   test("multimodal decode: deterministic fake decoder, real plumbing") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(7L, Multimodal.syntheticMedia(7L, "image"), "image"))
