@@ -546,6 +546,24 @@ object SparkEntry {
         .orderBy("win_epoch", "event_type")
     }),
 
+    "x41_stream_enrich" -> ((s, dir) => {
+      // Stream-static enrichment through the streaming gate: events stream
+      // inner-joined to the STATIC customer dimension (broadcast) on
+      // user_id = c_custkey under Trigger.AvailableNow. The join is
+      // stateless, so the streamed result is exactly the batch join — the
+      // oracle states it directly in SQL.
+      val tmp = scratchDir("graft-x41")
+      s.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/in")
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+      graft.streaming.StreamingOps.enrichWithDim(s, s"$tmp/in", s"$tmp/ck",
+        s"$tmp/out", dim, "c_custkey", "c_nationkey")
+      s.read.parquet(s"$tmp/out")
+        .select(col("event_id"), col("user_id"), col("c_nationkey"),
+          col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // ----------------------------------------- SQL surface (Catalyst expr)
     "x21_extract_sql" -> ((s, dir) => {
       // The native extract_text Expression through plain SQL; same oracle as
@@ -882,6 +900,10 @@ object SparkEntry {
         .mkString(" + ")
       s"SELECT doc_id, CAST($terms AS BIGINT) AS n_merge_tokens FROM documents ORDER BY doc_id"
     },
+    "x41_stream_enrich" ->
+      ("SELECT e.event_id, e.user_id, c.c_nationkey, e.event_type " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "ORDER BY e.event_id"),
     "x40_image_decode" ->
       ("WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 7) % 16 AS h FROM documents) " +
         "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +

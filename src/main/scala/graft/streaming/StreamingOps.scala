@@ -86,6 +86,32 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Stream-static enrichment: the event stream inner-joined to a STATIC
+    * broadcast dimension on user_id = dimKey, emitting
+    * (event_id, user_id, <dimVal>, event_type). Stateless (no watermark
+    * state, no stream-stream buffering), so Append emits exactly the batch
+    * join regardless of how the file source batches — the streaming
+    * analogue of the pipeline's broadcast golden-verification join, and the
+    * 100-TB shape for dimension joins: the dim is broadcast, the stream
+    * never shuffles.
+    */
+  def enrichWithDim(spark: SparkSession, inputDir: String, checkpointDir: String,
+                    outDir: String, dim: DataFrame, dimKey: String,
+                    dimVal: String): Unit = {
+    val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+    val joined = stream.join(broadcast(dim), stream("user_id") === dim(dimKey))
+      .select(stream("event_id"), stream("user_id"), dim(dimVal),
+        stream("event_type"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+  }
+
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long,
                               duration_ms: Long)

@@ -41,6 +41,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch))
   }
 
+  test("stream-static enrichment equals the batch join exactly") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("enr-in").toString
+    val cp = Files.createTempDirectory("enr-cp").toString
+    val out = Files.createTempDirectory("enr-out").toString
+    writeEvents(in)
+    // static dim covering only users 0..4: users 5/6 must drop (inner join)
+    val dim = (0L to 4L).map(k => (k, (k * 10).toInt)).toDF("c_custkey", "c_nationkey")
+    StreamingOps.enrichWithDim(spark, in, cp, out, dim, "c_custkey", "c_nationkey")
+    val streamed = spark.read.parquet(out)
+      .select("event_id", "user_id", "c_nationkey", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))).toSet
+    val batch = spark.read.parquet(in)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "c_nationkey", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    assert(!streamed.exists(_._2 > 4L)) // unmatched users dropped
+  }
+
   test("flatMapGroupsWithState sessionization emits gap-separated sessions") {
     import spark.implicits._
     val in = Files.createTempDirectory("sess-in").toString
