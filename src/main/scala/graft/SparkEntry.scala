@@ -32,6 +32,20 @@ object SparkEntry {
     dir
   }
 
+  /** Plain copy of `$dir/events.parquet` staged into a scratch DIRECTORY
+    * (FileStreamSource requires a directory, not a single parquet file),
+    * shared by the streaming gates that consume the UNMODIFIED table
+    * (x37/x41) — one copy per sf dir per JVM instead of one per query.
+    * (x35 stages its own planted-duplicates variant separately.)
+    */
+  private val stagedEvents = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedEventsDir(s: SparkSession, dir: String): String =
+    stagedEvents.computeIfAbsent(dir, _ => {
+      val tmp = scratchDir("graft-events-in")
+      s.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
+
   /** x39 fixture: an 8-rule merges table in the public GPT-2 merges.txt
     * format (line order = rank).
     */
@@ -437,19 +451,23 @@ object SparkEntry {
 
     "x39_bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      // REAL merges-based BPE through the gate: deterministic 12-word docs
-      // synthesized from doc_id over BpeBank, encoded by the rank-greedy
-      // merge loop (TextOps.bpeEncode) against the 8-rule DemoMerges table.
-      // The oracle mirrors the doc_id -> word arithmetic with HAND-TRACED
-      // per-word token counts (BpeBankCounts — derived on paper, not by
-      // running the encoder), so a merge-order or merge-all-occurrences bug
-      // breaks the hash.
+      // REAL merges-based BPE through the gate: deterministic 8-word docs
+      // synthesized from doc_id over the 12-word BpeBank, encoded by the
+      // rank-greedy merge loop (TextOps.bpeEncode) against the 8-rule
+      // DemoMerges table. The oracle mirrors the doc_id -> word arithmetic
+      // with HAND-TRACED per-word token counts (BpeBankCounts — derived on
+      // paper, not by running the encoder), so a merge-order or
+      // merge-all-occurrences bug breaks the hash. 8 of 12 words (not 12
+      // of 12): a full sweep of the bank would collapse every doc to the
+      // same constant sum and the per-word counts would stop
+      // discriminating; with 8, the selected residue subset — and the
+      // total — varies with doc_id mod 12.
       val ranks = graft.ops.TextOps.parseMerges(DemoMerges)
         .zipWithIndex.map { case (p, i) => p -> i }.toMap
       val bank = BpeBank
       val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
         .map { id =>
-          val words = (0 until 12).map(j => bank(((id + j * 7) % bank.length).toInt))
+          val words = (0 until 8).map(j => bank(((id + j * 7) % bank.length).toInt))
           (id, words.mkString(" "))
         }.toDF("doc_id", "text")
       val cnt = udf((t: String) =>
@@ -534,11 +552,10 @@ object SparkEntry {
       // source with no maxFilesPerTrigger) so no row can be late-dropped.
       val tmp = scratchDir("graft-x37")
       // FileStreamSource requires a DIRECTORY (basePath) — $dir/events.parquet
-      // is a single parquet file, so stage it into a scratch input dir first.
-      // (Streaming it in place crashed with [STREAM_FAILED]; regressed in
-      // 501b540, restored per the round-3 verdict.)
-      s.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/in")
-      graft.streaming.StreamingOps.windowedCounts(s, s"$tmp/in",
+      // is a single parquet file, so stream the staged copy. (Streaming the
+      // file in place crashed with [STREAM_FAILED]; regressed in 501b540,
+      // restored per the round-3 verdict.)
+      graft.streaming.StreamingOps.windowedCounts(s, stagedEventsDir(s, dir),
         s"$tmp/ck", s"$tmp/out")
       s.read.parquet(s"$tmp/out")
         .select(unix_timestamp(col("win_start")).cast("long").as("win_epoch"),
@@ -553,11 +570,10 @@ object SparkEntry {
       // stateless, so the streamed result is exactly the batch join — the
       // oracle states it directly in SQL.
       val tmp = scratchDir("graft-x41")
-      s.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/in")
       val dim = s.read.parquet(s"$dir/customer.parquet")
         .select("c_custkey", "c_nationkey")
-      graft.streaming.StreamingOps.enrichWithDim(s, s"$tmp/in", s"$tmp/ck",
-        s"$tmp/out", dim, "c_custkey", "c_nationkey")
+      graft.streaming.StreamingOps.enrichWithDim(s, stagedEventsDir(s, dir),
+        s"$tmp/ck", s"$tmp/out", dim, "c_custkey", "c_nationkey")
       s.read.parquet(s"$tmp/out")
         .select(col("event_id"), col("user_id"), col("c_nationkey"),
           col("event_type"))
@@ -891,11 +907,11 @@ object SparkEntry {
         "i -> substring(lower(text), CAST(i AS INT), 5)))) END AS BIGINT) AS n_5grams " +
         "FROM documents ORDER BY doc_id"),
     "x39_bpe_merges" -> {
-      // Mirrors x39's doc_id -> 12-word synthesis with the HAND-TRACED
+      // Mirrors x39's doc_id -> 8-word synthesis with the HAND-TRACED
       // per-word counts (BpeBankCounts) — fully independent of bpeEncode.
       val cases = BpeBankCounts.zipWithIndex
         .map { case (c, i) => s"WHEN $i THEN $c" }.mkString(" ")
-      val terms = (0 until 12)
+      val terms = (0 until 8)
         .map(j => s"(CASE CAST((doc_id + ${j * 7}) % ${BpeBank.length} AS INT) $cases END)")
         .mkString(" + ")
       s"SELECT doc_id, CAST($terms AS BIGINT) AS n_merge_tokens FROM documents ORDER BY doc_id"

@@ -259,16 +259,32 @@ object Dedup {
     * need 100+ documents each within Jaccard 0.7 of the next).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint()
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint + capture of the block-backed RDDs it registered:
+    // Dataset.unpersist is a CacheManager call and does NOT free
+    // localCheckpoint blocks, so to actually release a retired round we
+    // must unpersist the underlying RDDs (diffing getPersistentRDDs around
+    // the checkpoint is the public-API way to reach them; the CC loop is
+    // driver-sequential, so the diff is exactly this checkpoint's RDDs).
+    def ckpt(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val after = sc.getPersistentRDDs
+      (out, (after.keySet -- before).toSeq.map(after))
+    }
+    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
+    val (edges, edgeRdds) = ckpt(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct())
     // Seed = the single-pass min-neighbor labels (identical to one
     // propagation round from identity labels, at the cost of one groupBy
     // instead of a join + groupBy) — saves a full round on every graph.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("label"))
-      .localCheckpoint()
+    var (labels, labelRdds) = ckpt(
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("label")))
     var converged = false
     var iter = 1 // the seed IS round 1
     while (!converged && iter < maxIter) {
@@ -279,22 +295,25 @@ object Dedup {
       // filter-scan — no second join, no re-execution.
       val fromNbrs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"), lit(false).as("self"))
-      val stepped = labels.withColumn("self", lit(true))
-        .unionByName(fromNbrs)
-        .groupBy("id")
-        .agg(min("label").as("label"),
-          min(when(col("self"), col("label"))).as("prev"))
-        .localCheckpoint()
+      val (stepped, steppedRdds) = ckpt(
+        labels.withColumn("self", lit(true))
+          .unionByName(fromNbrs)
+          .groupBy("id")
+          .agg(min("label").as("label"),
+            min(when(col("self"), col("label"))).as("prev")))
       val changed = stepped.filter(col("label") =!= col("prev")).limit(1).count()
-      // The prior round's checkpointed blocks are dead once `stepped` is
-      // materialized — release them instead of letting maxIter copies of
-      // the vertex set pile up in executor storage memory.
-      labels.unpersist(blocking = false)
+      // The prior round's checkpoint blocks are dead once `stepped` is
+      // materialized — release the RDDs themselves (not Dataset.unpersist,
+      // which is a no-op for checkpoint blocks) so maxIter copies of the
+      // vertex set can't pile up in executor storage memory.
+      release(labelRdds)
       labels = stepped.select("id", "label")
+      labelRdds = steppedRdds
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    release(edgeRdds)
+    // The final round's blocks stay: the returned Dataset is backed by them.
     labels
   }
 

@@ -37,14 +37,18 @@ object TextOps {
   // ------------------------------------------------- merges-based BPE (real)
 
   /** Parse a GPT-2-format merges file ("a b" per line, '#'-comments
-    * skipped); line order IS merge priority (rank).
+    * skipped); line order IS merge priority (rank). Lines without a space
+    * (truncated downloads, stray artifacts in real merges.txt files) are
+    * skipped rather than crashing the production token-budgeting path.
     */
   def parseMerges(txt: String): Vector[(String, String)] =
     txt.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
+      .flatMap { l =>
         val sp = l.split(" ", 2)
-        (sp(0), sp(1))
+        if (sp.length == 2 && sp(0).nonEmpty && sp(1).nonEmpty)
+          Some((sp(0), sp(1)))
+        else None
       }.toVector
 
   /** Real byte-pair-encoding of one pre-token against a merge-rank table:

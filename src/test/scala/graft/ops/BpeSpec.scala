@@ -56,6 +56,22 @@ class BpeSpec extends AnyFunSuite {
     assert(TextOps.bpeEncode("ner", r2) == Vector("n", "er"))
   }
 
+  test("parseMerges skips malformed lines instead of crashing") {
+    val m = TextOps.parseMerges("#comment\nt h\nbroken\nth e\n   \nx ")
+    assert(m == Vector(("t", "h"), ("th", "e")))
+  }
+
+  test("x39 synthesis discriminates per doc_id (not a constant sum)") {
+    // 8-of-12 word selection: the selected residue subset must vary with
+    // doc_id so the per-word hand-traced counts are actually exercised —
+    // a full 12-of-12 sweep would make every doc sum to the same constant
+    // and a sum-preserving count error would pass the gate.
+    val sums = (0L until 12L).map { id =>
+      (0 until 8).map(j => SparkEntry.BpeBankCounts(((id + j * 7) % 12).toInt)).sum
+    }
+    assert(sums.distinct.size > 1, s"constant sums: $sums")
+  }
+
   test("empty and single-char inputs") {
     assert(TextOps.bpeEncode("", ranks) == Vector.empty)
     assert(TextOps.bpeEncode("x", ranks) == Vector("x"))

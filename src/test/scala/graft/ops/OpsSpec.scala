@@ -71,6 +71,21 @@ class OpsSpec extends AnyFunSuite {
     for ((v, l) <- labels) assert(l == expected(v), s"vertex $v")
   }
 
+  test("connectedComponents releases retired rounds' checkpoint blocks") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // a 10-chain forces ~10 propagation rounds (min-label moves 1 hop per
+    // round); without real RDD unpersist each round would leave its blocks
+    // registered and getPersistentRDDs would grow by ~1 per round.
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = sc.getPersistentRDDs.size
+    val labels = Dedup.connectedComponents(edges)
+    assert(labels.select(min("label")).head().getLong(0) == 0L)
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 2, s"persistent RDDs grew $before -> $after " +
+      "(retired checkpoint blocks not released)")
+  }
+
   test("CC dup groups collapse similarity chains the single pass cannot") {
     import spark.implicits._
     // A ~ B (J=0.82) and B ~ C (J=0.79) but A !~ C (J=0.65 < 0.7): the
