@@ -98,14 +98,48 @@ object Multimodal {
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
         (b(0) == 'B' && b(1) == 'M'))
 
+  /** Decompression-bomb guard: a crawled "image" declaring huge dimensions
+    * (a 30000x30000 gray PNG is a few KB on the wire but ~900 MB decoded)
+    * must not be allowed to allocate in an executor. Checked from the
+    * HEADER via ImageReader before any pixel decode.
+    */
+  val MaxImagePixels: Long = 64L * 1024 * 1024 // 64 MP ~ 64-256 MB decoded
+
+  /** Header-only dimension read (no pixel decode); None if unparseable. */
+  def imageHeaderDims(media: Array[Byte]): Option[(Int, Int)] = {
+    if (media == null || media.length < 4) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(media))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
   /** REAL image decode via JDK ImageIO. Statistics read from RAW raster
     * band 0 (not getRGB — TYPE_BYTE_GRAY getRGB applies a gray->sRGB
     * gamma conversion that would break bit-exactness): returns
     * (width, height, band-0 sample sum, 8-bin band-0 histogram), or None
-    * when ImageIO cannot parse the payload.
+    * when ImageIO cannot parse the payload OR the header declares more
+    * than MaxImagePixels (decompression-bomb guard — dims are read from
+    * the header BEFORE any pixel allocation).
     */
   def imageDecode(media: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
     if (media == null || media.length < 4) return None
+    imageHeaderDims(media) match {
+      case None => return None
+      case Some((hw, hh)) =>
+        if (hw.toLong * hh > MaxImagePixels || hw <= 0 || hh <= 0) return None
+    }
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
       catch { case _: Exception => null }

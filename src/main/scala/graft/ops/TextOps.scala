@@ -89,10 +89,21 @@ object TextOps {
     toks
   }
 
+  /** bpeEncode's merge loop is O(len^2) in the worst case (each round is
+    * a full scan and a hostile rule chain can force ~len rounds); real
+    * tokenizers bound it the same way — no natural-language pre-token is
+    * this long, so chunking a pathological run only perturbs counts at
+    * chunk seams.
+    */
+  val MaxBpeWordLen = 512
+
   /** Merges-based BPE token count over full text: lowercase, pre-tokenize
     * with the regex pre-tokenizer, encode each pre-token (whitespace runs
-    * collapse to pre-tokens too and count like GPT-2's). Production token
-    * budgeting against a real vocab: pass the tokenizer's merges.txt.
+    * collapse to pre-tokens too and count like GPT-2's). Hostile
+    * megabyte-long single runs (a 1 MB "aaaa..." doc would otherwise cost
+    * ~len^2 work in the executor hot loop) are chunked at MaxBpeWordLen.
+    * Production token budgeting against a real vocab: pass the tokenizer's
+    * merges.txt.
     */
   def withBpeMergeCount(df: DataFrame, mergesTxt: String,
                         textCol: String = "text"): DataFrame = {
@@ -103,7 +114,15 @@ object TextOps {
       else {
         val m = pat.matcher(s.toLowerCase(java.util.Locale.ROOT))
         var n = 0
-        while (m.find()) n += bpeEncode(m.group(), ranks).length
+        while (m.find()) {
+          val g = m.group()
+          var off = 0
+          while (off < g.length) {
+            val end = math.min(off + MaxBpeWordLen, g.length)
+            n += bpeEncode(g.substring(off, end), ranks).length
+            off = end
+          }
+        }
         n
       }
     })

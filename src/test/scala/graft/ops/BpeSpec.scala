@@ -77,6 +77,18 @@ class BpeSpec extends AnyFunSuite {
     assert(TextOps.bpeEncode("x", ranks) == Vector("x"))
   }
 
+  test("hostile long runs are chunked (no quadratic blowup) with exact counts") {
+    val spark = graft.spark.SparkTestBase.spark
+    import spark.implicits._
+    // 2000-char "a" run with an (a,a) merge rule: halves to 1000 tokens;
+    // chunking at 512 gives 256+256+256+232 = 1000 — same count, bounded
+    // work per chunk.
+    val df = Seq((1L, "a" * 2000)).toDF("doc_id", "text")
+    val got = TextOps.withBpeMergeCount(df, "a a")
+      .select("n_merge_tokens").head().getInt(0)
+    assert(got == 1000)
+  }
+
   test("withBpeMergeCount: pre-tokenize then encode, over a DataFrame") {
     val spark = graft.spark.SparkTestBase.spark
     import spark.implicits._

@@ -285,6 +285,34 @@ class OpsSpec extends AnyFunSuite {
     assert(!Multimodal.looksLikeRealImage(Multimodal.syntheticMedia(5L, "image")))
   }
 
+  test("image decompression bomb: huge header dims rejected before decode") {
+    // author a REAL PNG header (valid signature + IHDR + CRC) that declares
+    // a 50000x50000 gray image (~2.5 GB decoded) with no actual pixel data
+    def hostilePng(w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ihdr = new java.io.ByteArrayOutputStream()
+      ihdr.write("IHDR".getBytes)
+      for (v <- Seq(w, h))
+        ihdr.write(Array((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toByte))
+      ihdr.write(Array(8, 0, 0, 0, 0).map(_.toByte)) // depth 8, gray, no interlace
+      val body = ihdr.toByteArray
+      val len = body.length - 4
+      bos.write(Array((len >> 24) & 0xff, (len >> 16) & 0xff, (len >> 8) & 0xff, len & 0xff).map(_.toByte))
+      bos.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      val c = crc.getValue
+      bos.write(Array((c >> 24) & 0xff, (c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff).map(_.toInt.toByte))
+      bos.toByteArray
+    }
+    val bomb = hostilePng(50000, 50000)
+    assert(Multimodal.looksLikeRealImage(bomb))
+    assert(Multimodal.imageHeaderDims(bomb).contains((50000, 50000)))
+    assert(Multimodal.imageDecode(bomb).isEmpty) // guard fired, no allocation
+    // a sane authored PNG still passes the guard and decodes
+    assert(Multimodal.imageDecode(Multimodal.syntheticPng(3L)).isDefined)
+  }
+
   test("decodeFeatures dispatches real images to ImageIO, fakes elsewhere") {
     import spark.implicits._
     val rows = Seq(
