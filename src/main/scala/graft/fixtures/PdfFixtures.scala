@@ -348,6 +348,70 @@ object PdfFixtures {
     onePage(s"<< /Filter /RunLengthDecode /Length ${enc.length} >>", enc)
   }
 
+  /** sAhx: ASCIIHexDecode content stream. Whitespace inside the hex body is
+    * skipped by the decoder, '>' is EOD; any NON-hex byte is an error
+    * (encoding.go:1272-1308), so the fixture emits only [0-9A-F\n>].
+    */
+  def sAhx(text: String = "Hello World"): Array[Byte] = {
+    val raw = contentFor(text)
+    val hex = raw.map(x => f"${x & 0xff}%02X").grouped(16).map(_.mkString).mkString("\n")
+    val enc = b(hex + ">")
+    onePage(s"<< /Filter /ASCIIHexDecode /Length ${enc.length} >>", enc)
+  }
+
+  /** sTiffPred: FlateDecode + TIFF Predictor 2 on the CONTENT stream — the
+    * single-filter DecodeStream path where predictors APPLY (vs the
+    * multi-filter path that skips them, encoding.go:1823-1841). The
+    * reference predictor requires the data be a whole number of
+    * Columns*Colors rows (encoding.go:267-304), so the content is padded
+    * with trailing spaces (harmless between content-stream operators).
+    */
+  def sTiffPred(text: String = "Hello World"): Array[Byte] = {
+    val cols = 16
+    val raw0 = contentFor(text)
+    val pad = (cols - (raw0.length % cols)) % cols
+    val raw = raw0 ++ Array.fill(pad)(' '.toByte)
+    // forward TIFF horizontal difference (inverse of decode's row[j] += row[j-1])
+    val fwd = raw.clone()
+    var base = 0
+    while (base < fwd.length) {
+      var j = cols - 1
+      while (j >= 1) {
+        fwd(base + j) = ((fwd(base + j) - fwd(base + j - 1)) & 0xff).toByte
+        j -= 1
+      }
+      base += cols
+    }
+    val enc = Filters.flateEncode(fwd)
+    onePage("<< /Filter /FlateDecode /DecodeParms << /Predictor 2 /Colors 1 " +
+      s"/BitsPerComponent 8 /Columns $cols >> /Length ${enc.length} >>", enc)
+  }
+
+  /** sShuffledXref: classic container whose xref OFFSETS are rotated to
+    * point at the WRONG objects. The first lookup parses an object with a
+    * mismatched number, which must trigger the rebuildXrefTable repair
+    * (renumber by the object numbers actually found at the offsets,
+    * repairs.go:52-82) before extraction can proceed.
+    */
+  def sShuffledXref(text: String = "Hello World"): Array[Byte] = {
+    val base = s01(text)
+    val src = new String(base, ISO_8859_1)
+    // NB "\nxref\n": a bare lastIndexOf("xref") would land inside the
+    // trailing "startxref" line.
+    val xrefAt = src.lastIndexOf("\nxref\n") + 1
+    require(xrefAt >= 1, "fixture: no classic xref")
+    val head = src.substring(0, xrefAt)
+    val tail = src.substring(xrefAt)
+    val lines = tail.split("\n", -1).toBuffer
+    // lines: xref / "0 N" / free entry / in-use entries for 1..maxNum / trailer...
+    val entryIdx = lines.indices.filter(i => lines(i).matches("\\d{10} 00000 n \r?"))
+    require(entryIdx.length >= 2, "fixture: not enough in-use entries")
+    val rotated = entryIdx.map(lines).toVector
+    val shifted = rotated.tail :+ rotated.head
+    entryIdx.zip(shifted).foreach { case (i, l) => lines(i) = l }
+    b(head + lines.mkString("\n"))
+  }
+
   /** sCmapDoc: ARBITRARY text routed through a ToUnicode CMap — every
     * distinct codepoint gets a 2-byte charcode, the content shows the hex
     * code string, and extraction must map codes back to the exact text

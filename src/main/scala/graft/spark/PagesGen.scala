@@ -24,7 +24,7 @@ object PagesGen {
     * oracle checks, so ALL the families below (incl. crypt, CMap, repairs,
     * LZW/RLE, inline images) carry hard end-to-end evidence.
     */
-  val PdfVariants = 19
+  val PdfVariants = 22
 
   /** Deterministic payload for one document. */
   def payloadFor(docId: Long, text: String, variant: Int): Array[Byte] = variant match {
@@ -47,6 +47,9 @@ object PagesGen {
     case 16 => PdfFixtures.sColorSpaces(text)           // Lab + CalRGB + Indexed
     case 17 => PdfFixtures.sTints(text)                 // Type-0 + Type-2 tint fns
     case 18 => PdfFixtures.sIncremental(text)           // incremental update (/Prev)
+    case 19 => PdfFixtures.sAhx(text)                   // ASCIIHexDecode content
+    case 20 => PdfFixtures.sTiffPred(text)              // Flate + TIFF Predictor 2
+    case 21 => PdfFixtures.sShuffledXref(text)          // wrong offsets -> xref rebuild
     case _  => PdfFixtures.htmlSimple(text)             // HTML branch
   }
 

@@ -89,7 +89,7 @@ class PropertySpec extends AnyFunSuite {
     // encrypted objstm), CMap, LZW and Separation+PostScript parsing paths
     // under point mutations and truncations. Fixed seed => deterministic.
     val rnd = new java.util.Random(0xfadedL)
-    val variants = Seq(4, 5, 6, 8, 11, 12, 13, 15, 16, 17, 18)
+    val variants = Seq(4, 5, 6, 8, 11, 12, 13, 15, 16, 17, 18, 19, 20, 21)
     for (v <- variants) {
       val base = graft.spark.PagesGen.payloadFor(4242L, "fuzz target text body", v)
       for (_ <- 0 until 120) {
