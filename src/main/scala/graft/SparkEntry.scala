@@ -98,13 +98,15 @@ object SparkEntry {
     // ----------------------------------------------------- extraction (E2E)
     "x10_extract_pdf" -> ((s, dir) => {
       import s.implicits._
-      // PDF payload variants rotate through ALL 19 container families
-      // (classic xref / flate / objstm+xref-stream / multi-filter / ToUnicode
-      // CMap / RC4 crypt / AESV2 crypt / startxref repair / LZW / RLE /
-      // inline image / Separation+Type-4 tint / AESV3 R6 crypt / encrypted
-      // objstm / annotated page / hybrid /XRefStm / Lab+CalRGB+Indexed /
-      // Type-0+Type-2 tints / incremental update with a /Prev chain);
-      // extraction must return the exact original text.
+      // PDF payload variants rotate through ALL PagesGen.PdfVariants (22)
+      // container families (classic xref / flate / objstm+xref-stream /
+      // multi-filter / ToUnicode CMap / RC4 crypt / AESV2 crypt / startxref
+      // repair / LZW / RLE / inline image / Separation+Type-4 tint / AESV3
+      // R6 crypt / encrypted objstm / annotated page / hybrid /XRefStm /
+      // Lab+CalRGB+Indexed / Type-0+Type-2 tints / incremental update with
+      // a /Prev chain / ASCIIHex / Flate+TIFF-Predictor-2 / shuffled-xref
+      // rebuild); extraction must return the exact original text. The
+      // authoritative per-variant list is PagesGen.payloadFor.
       PagesGen.pagesPdf(s, dir).map { row =>
         val r = Extract(row.html)
         (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, r.text)

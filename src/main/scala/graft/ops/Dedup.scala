@@ -259,18 +259,20 @@ object Dedup {
     * need 100+ documents each within Jaccard 0.7 of the next).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
     // localCheckpoint + capture of the block-backed RDDs it registered:
     // Dataset.unpersist is a CacheManager call and does NOT free
     // localCheckpoint blocks, so to actually release a retired round we
-    // must unpersist the underlying RDDs (diffing getPersistentRDDs around
-    // the checkpoint is the public-API way to reach them; the CC loop is
-    // driver-sequential, so the diff is exactly this checkpoint's RDDs).
+    // must unpersist the underlying RDDs. Extract them from the
+    // checkpointed Dataset's own plan (a LogicalRDD leaf) — precise even
+    // if another driver thread persists RDDs concurrently, unlike a
+    // getPersistentRDDs diff which would capture (and destroy) foreign
+    // checkpoint blocks.
     def ckpt(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
-      val after = sc.getPersistentRDDs
-      (out, (after.keySet -- before).toSeq.map(after))
+      val rdds = out.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      (out, rdds)
     }
     def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
       rdds.foreach(_.unpersist(blocking = false))

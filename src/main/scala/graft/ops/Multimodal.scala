@@ -105,66 +105,71 @@ object Multimodal {
     */
   val MaxImagePixels: Long = 64L * 1024 * 1024 // 64 MP ~ 64-256 MB decoded
 
-  /** Header-only dimension read (no pixel decode); None if unparseable. */
-  def imageHeaderDims(media: Array[Byte]): Option[(Int, Int)] = {
+  /** Run `f` over an ImageReader positioned on `media`, absorbing every
+    * failure mode into None (no SPI match, reader exceptions — hostile
+    * payloads must never throw out of the decode path). The stream is a
+    * MemoryCacheImageInputStream: the payload is already in memory, so the
+    * default file-cache stream would only add temp-file I/O (and an
+    * IOException risk on a full/unwritable tmpdir) per row.
+    */
+  private def withReader[A](media: Array[Byte])(
+      f: javax.imageio.ImageReader => Option[A]): Option[A] = {
     if (media == null || media.length < 4) return None
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(media))
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          Some((r.getWidth(0), r.getHeight(0)))
-        } catch { case _: Exception => None }
-        finally r.dispose()
-      }
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); f(r) }
+          finally r.dispose()
+        }
+      } finally iis.close()
     } catch { case _: Exception => None }
-    finally iis.close()
   }
+
+  /** Header-only dimension read (no pixel decode); None if unparseable. */
+  def imageHeaderDims(media: Array[Byte]): Option[(Int, Int)] =
+    withReader(media)(r => Some((r.getWidth(0), r.getHeight(0))))
 
   /** REAL image decode via JDK ImageIO. Statistics read from RAW raster
     * band 0 (not getRGB — TYPE_BYTE_GRAY getRGB applies a gray->sRGB
     * gamma conversion that would break bit-exactness): returns
     * (width, height, band-0 sample sum, 8-bin band-0 histogram), or None
     * when ImageIO cannot parse the payload OR the header declares more
-    * than MaxImagePixels (decompression-bomb guard — dims are read from
-    * the header BEFORE any pixel allocation).
+    * than MaxImagePixels (decompression-bomb guard — dims come from the
+    * header BEFORE any pixel allocation). One reader parses both the
+    * header and the pixels: the container is not re-parsed for the decode.
     */
-  def imageDecode(media: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
-    if (media == null || media.length < 4) return None
-    imageHeaderDims(media) match {
-      case None => return None
-      case Some((hw, hh)) =>
-        if (hw.toLong * hh > MaxImagePixels || hw <= 0 || hh <= 0) return None
-    }
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
-      catch { case _: Exception => null }
-    if (img == null) None
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val raster = img.getRaster
-      var sum = 0L
-      val hist = new Array[Long](8)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = raster.getSample(x, y, 0) & 0xff
-          sum += v
-          hist(v >> 5) += 1
-          x += 1
+  def imageDecode(media: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    withReader(media) { r =>
+      val hw = r.getWidth(0)
+      val hh = r.getHeight(0)
+      if (hw <= 0 || hh <= 0 || hw.toLong * hh > MaxImagePixels) None
+      else {
+        val img = r.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var sum = 0L
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0) & 0xff
+            sum += v
+            hist(v >> 5) += 1
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val n = math.max(1L, w.toLong * h)
+        Some((w, h, sum, hist.map(c => c.toFloat / n)))
       }
-      val n = math.max(1L, w.toLong * h)
-      Some((w, h, sum, hist.map(c => c.toFloat / n)))
     }
-  }
 
   /** documents -> synthetic media table (binary column + metadata). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
