@@ -173,9 +173,17 @@ object Dedup {
       .filter(size(col("mh_sig")) > 0) // zero-shingle docs: exact path instead
       .withColumn("sk", struct(xxhash64(col("mh_sig")).as("h1"),
         xxhash64(lit("mh-salt"), col("mh_sig")).as("h2")))
+    // Materialize the signature table ONCE: members and reps would
+    // otherwise each re-scan the corpus and re-run the signature UDF (the
+    // single most expensive stage) — the standard persist-the-signatures
+    // step of any LSH pipeline. Only (sk, id, bands) is kept: the text
+    // column must NOT be materialized (at 10^12 docs that would spill the
+    // corpus to executor storage).
+    val sigTbl = withSig.select(col("sk"), col("id"), col("mh_bands"))
+      .localCheckpoint()
     // One representative (min id) per distinct signature.
-    val members = withSig.select(col("sk"), col("id"))
-    val reps = withSig.groupBy("sk")
+    val members = sigTbl.select(col("sk"), col("id"))
+    val reps = sigTbl.groupBy("sk")
       .agg(min("id").as("rid"), first("mh_bands").as("bands"), count(lit(1)).as("grp_n"))
     val exploded = reps.select(col("sk"), col("rid"), explode(col("bands")).as("band"))
     // Degenerate-band guard: drop band buckets larger than the cap.
