@@ -565,6 +565,21 @@ object SparkEntry {
         .orderBy("win_epoch", "event_type")
     }),
 
+    "x42_writer_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // The WRITER through the gate: every x10 rotation payload (all 22
+      // container families incl. crypt/objstm/repairs) is loaded, its
+      // reachable object graph re-serialized by PdfWriter.rewrite (objstms
+      // flattened, repairs normalized, encryption stripped), and the
+      // REWRITTEN file re-extracted — the text must still match
+      // documents.text byte-identically, which is the writer's round-trip
+      // contract (read -> write -> read -> extract).
+      PagesGen.pagesPdf(s, dir).map { row =>
+        val r = Extract(graft.pdf.PdfWriter.rewrite(row.html))
+        (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, r.text)
+      }.toDF("doc_id", "extracted").orderBy("doc_id")
+    }),
+
     "x41_stream_enrich" -> ((s, dir) => {
       // Stream-static enrichment through the streaming gate: events stream
       // inner-joined to the STATIC customer dimension (broadcast) on
@@ -918,6 +933,8 @@ object SparkEntry {
         .mkString(" + ")
       s"SELECT doc_id, CAST($terms AS BIGINT) AS n_merge_tokens FROM documents ORDER BY doc_id"
     },
+    "x42_writer_roundtrip" ->
+      "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
     "x41_stream_enrich" ->
       ("SELECT e.event_id, e.user_id, c.c_nationkey, e.event_type " +
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
