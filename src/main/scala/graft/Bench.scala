@@ -284,6 +284,7 @@ object Bench {
       "x27_bpe_tokens", "x28_winnow", "x29_ann_ivf", "x39_bpe_merges",
       "x40_image_decode")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val queryTimesWarm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (name <- headline) SparkEntry.queries.get(name) match {
       case None =>
         // A renamed/missing headline query must not silently vanish from
@@ -303,6 +304,18 @@ object Bench {
         // A failed query must not masquerade as a fast success: record -1.
         queryTimes(name) = if (ok) t else -1.0
         if (!ok) failed += name
+        // Second rep: `queries` keeps the FIRST-run (cold) time, comparable
+        // with the historical series; `queries_warm` records min-of-2,
+        // which strips the one-time planning/JIT cost that dominates the
+        // heavier queries and makes cross-round comparisons noise-robust.
+        if (ok) {
+          var ok2 = true
+          val t2 = timed {
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable => ok2 = false }
+          }
+          queryTimesWarm(name) = if (ok2) math.min(t, t2) else t
+        }
     }
     queryTimes(s"extract_p$lo") = tLo
     queryTimes(s"extract_p$mid") = tMid
@@ -319,6 +332,8 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
       .mkString("{", ",", "}")
+    val qsWarm = queryTimesWarm.map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
+      .mkString("{", ",", "}")
     val failedJson = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     def repJson(reps: Seq[Rep]): String = {
       // wall_outlier: > 2x the level's median wall — flags reps that are
@@ -333,7 +348,7 @@ object Bench {
     val meta =
       s""""level_widths":[${widths.mkString(",")}],"ok_rate":${"%.4f".formatLocal(java.util.Locale.ROOT, okRate)},"pinned":$pinned,"unpinned":$unpinned,"steal_clean_reps":[${repsLo.count(_.stealClean)},${repsMid.count(_.stealClean)},${repsHi.count(_.stealClean)}],"reps_lo":${repJson(repsLo.toSeq)},"reps_mid":${repJson(repsMid.toSeq)},"reps_hi":${repJson(repsHi.toSeq)}"""
     println(
-      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"${jstr(sfDir)}","extraction":{"docs":$docs,"secs":${"%.3f".formatLocal(java.util.Locale.ROOT, tHi)},"docs_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)},"docs_per_sec_per_core":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".formatLocal(java.util.Locale.ROOT, tpLo)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpMid)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)}],"efficiency_n_to_4n":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},"efficiency_saturated":${"%.3f".formatLocal(java.util.Locale.ROOT, eff832)},"efficiency":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},$meta}}""")
+      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"queries_warm":$qsWarm,"failed":$failedJson,"sf":"${jstr(sfDir)}","extraction":{"docs":$docs,"secs":${"%.3f".formatLocal(java.util.Locale.ROOT, tHi)},"docs_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)},"docs_per_sec_per_core":${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi / hi)}},"scaling":{"levels":[$lo,$mid,$hi],"docs_per_sec":[${"%.1f".formatLocal(java.util.Locale.ROOT, tpLo)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpMid)},${"%.1f".formatLocal(java.util.Locale.ROOT, tpHi)}],"efficiency_n_to_4n":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},"efficiency_saturated":${"%.3f".formatLocal(java.util.Locale.ROOT, eff832)},"efficiency":${"%.3f".formatLocal(java.util.Locale.ROOT, eff28)},$meta}}""")
     spark.stop()
   }
 }
