@@ -312,9 +312,14 @@ object Bench {
           var ok2 = true
           val t2 = timed {
             try fn(spark, sfDir).count()
-            catch { case e: Throwable => ok2 = false }
+            catch { case e: Throwable =>
+              ok2 = false
+              // a cold-pass/warm-fail query (non-idempotent state) must be
+              // LOUD and absent from queries_warm, not a fake warm success
+              System.err.println(s"[bench] $name FAILED on warm rerun: $e")
+            }
           }
-          queryTimesWarm(name) = if (ok2) math.min(t, t2) else t
+          if (ok2) queryTimesWarm(name) = math.min(t, t2)
         }
     }
     queryTimes(s"extract_p$lo") = tLo

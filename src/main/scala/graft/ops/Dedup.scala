@@ -178,7 +178,12 @@ object Dedup {
     // single most expensive stage) — the standard persist-the-signatures
     // step of any LSH pipeline. Only (sk, id, bands) is kept: the text
     // column must NOT be materialized (at 10^12 docs that would spill the
-    // corpus to executor storage).
+    // corpus to executor storage). Caveats shared with connectedComponents:
+    // localCheckpoint materializes eagerly (a job runs at plan-construction
+    // time), its blocks live until the returned plan is GC'd (the result is
+    // lazy, so they cannot be freed here), and lineage truncation means an
+    // executor loss mid-query fails the job — clusters that must survive
+    // that swap in reliable .checkpoint() / replicated persist.
     val sigTbl = withSig.select(col("sk"), col("id"), col("mh_bands"))
       .localCheckpoint()
     // One representative (min id) per distinct signature.

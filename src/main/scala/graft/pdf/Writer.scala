@@ -151,8 +151,11 @@ object PdfWriter {
     val refTarget = (n: Long) => numMap.get(n)
     val out = new ByteArrayOutputStream()
     out.write(b(s"%PDF-$major.$minor\n"))
-    // the binary-detection comment line (writer.go:670-671)
-    out.write(Array(0x25, 0xe2, 0xe3, 0xcf, 0xd3, 0x0a).map(_.toByte))
+    // the binary-detection comment line: the reference emits the UTF-8
+    // encoding of "%\u00e2\u00e3\u00cf\u00d3\n" (Go source strings are
+    // UTF-8), i.e. TEN bytes 25 C3A2 C3A3 C38F C393 0A (writer.go:671)
+    out.write(Array(0x25, 0xc3, 0xa2, 0xc3, 0xa3, 0xc3, 0x8f, 0xc3, 0x93, 0x0a)
+      .map(_.toByte))
     val offsets = objects.map { case (oldNum, body) =>
       val off = out.size().toLong
       val n = numMap(oldNum)
@@ -270,8 +273,12 @@ object PdfWriter {
       val stack = mutable.Stack.empty[PdfObj]
       stack.push(direct)
       var guard = 0
-      while (stack.nonEmpty && guard < 1000000) {
+      while (stack.nonEmpty) {
         guard += 1
+        // hostile-nesting cap: FAIL like the kernel's other caps do, never
+        // silently drop references (a dropped ref would serialize as null —
+        // silent corruption of the rewritten document)
+        if (guard > 1000000) throw new PdfError("rewrite: object graph too large")
         stack.pop() match {
           case PdfRef(n, _)     => found += n
           case ind: PdfIndirect => found += ind.num
@@ -292,7 +299,12 @@ object PdfWriter {
       while (visiting.nonEmpty) {
         val num = visiting.pop()
         if (!collected.contains(num)) {
-          val looked = parser.lookup(num.toInt)
+          // object numbers beyond the xref table's Int range cannot exist
+          // (the Size cap is 8388607); treat them as the missing->null case
+          // (crossrefs.go:243-249) instead of truncating through toInt
+          val looked =
+            if (num < 0 || num > Int.MaxValue) null
+            else parser.lookup(num.toInt)
           val body: PdfObj = looked match {
             case ind: PdfIndirect => ind.obj
             case st: PdfStream =>
