@@ -347,13 +347,17 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val qids = emb.select("vec_id").orderBy("vec_id").limit(3)
         .collect().map(_.getLong(0)).toSeq
-      Similarity.lshTopKQuant(s, emb, qids, k = 10, bits = Similarity.bitsFor(emb.count()))
+      // Corpus size for bits sizing comes from parquet FOOTER metadata (the
+      // Iceberg-stats analogue) — no extra count() scan per query.
+      val n14 = graft.spark.TableIO.parquetRowCount(s, s"$dir/embeddings.parquet")
+      Similarity.lshTopKQuant(s, emb, qids, k = 10, bits = Similarity.bitsFor(n14))
         .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     "x15_embedding_buckets" -> ((s, dir) => {
       val e15 = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.withLshBucket(e15, bits = Similarity.bitsFor(e15.count()))
+      val n15 = graft.spark.TableIO.parquetRowCount(s, s"$dir/embeddings.parquet")
+      Similarity.withLshBucket(e15, bits = Similarity.bitsFor(n15))
         .groupBy("lsh_bucket").agg(count(lit(1)).as("n"))
         .orderBy("lsh_bucket")
     }),
@@ -528,7 +532,8 @@ object SparkEntry {
       // bucket is a singleton). Mirrors embeddingNearDupPairs' single-round
       // path with oracle-safe arithmetic.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val bits = Similarity.bitsFor(emb.count())
+      val bits = Similarity.bitsFor(
+        graft.spark.TableIO.parquetRowCount(s, s"$dir/embeddings.parquet"))
       val b = Similarity.withLshBucket(emb, bits = bits)
         .select(col("vec_id"), col("lsh_bucket"),
           expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("qv"))

@@ -27,6 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Eager lineage-truncating checkpoint for the expensive/iterative
+    * intermediates (LSH signature table, CC label rounds). Default is
+    * `localCheckpoint` — executor-local blocks, fast, but an executor loss
+    * mid-job fails the query. Set `spark.graft.reliableCheckpoint=true`
+    * (with `SparkContext.setCheckpointDir` pointing at a durable FS) to
+    * swap in reliable `.checkpoint()`: blocks land on the checkpoint
+    * filesystem and survive executor loss — the production setting for
+    * multi-hour 100-TB dedup runs.
+    */
+  private[ops] def eagerCheckpoint(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.conf
+      .getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup: survivors = min(doc_id) per identical text. Aggregates on
@@ -183,9 +198,10 @@ object Dedup {
     // time), its blocks live until the returned plan is GC'd (the result is
     // lazy, so they cannot be freed here), and lineage truncation means an
     // executor loss mid-query fails the job — clusters that must survive
-    // that swap in reliable .checkpoint() / replicated persist.
-    val sigTbl = withSig.select(col("sk"), col("id"), col("mh_bands"))
-      .localCheckpoint()
+    // that set spark.graft.reliableCheckpoint=true (eagerCheckpoint swaps
+    // in reliable .checkpoint() against the configured checkpoint dir).
+    val sigTbl = eagerCheckpoint(
+      withSig.select(col("sk"), col("id"), col("mh_bands")))
     // One representative (min id) per distinct signature.
     val members = sigTbl.select(col("sk"), col("id"))
     val reps = sigTbl.groupBy("sk")
@@ -281,7 +297,7 @@ object Dedup {
     // getPersistentRDDs diff which would capture (and destroy) foreign
     // checkpoint blocks.
     def ckpt(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val out = df.localCheckpoint()
+      val out = eagerCheckpoint(df)
       val rdds = out.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
@@ -328,6 +344,12 @@ object Dedup {
       iter += 1
     }
     release(edgeRdds)
+    if (!converged)
+      // LOUD: labels past maxIter are a valid refinement but NOT the full
+      // transitive closure — a silent cap here would ship wrong dup groups.
+      System.err.println(s"WARNING [graft.Dedup]: connectedComponents hit " +
+        s"maxIter=$maxIter WITHOUT converging; returned labels are a partial " +
+        "closure (raise maxIter for deeper chain graphs)")
     // The final round's blocks stay: the returned Dataset is backed by them.
     labels
   }

@@ -153,21 +153,28 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val raster = img.getRaster
-        var sum = 0L
-        val hist = new Array[Long](8)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = raster.getSample(x, y, 0) & 0xff
-            sum += v
-            hist(v >> 5) += 1
-            x += 1
+        // Only 8-bit band-0 samples produce honest statistics: a 16-bit
+        // PNG (ImageIO parses these) masked with & 0xff would yield
+        // silently-truncated sums/histograms, so non-8-bit rasters are
+        // rejected (None) rather than mis-measured.
+        if (raster.getSampleModel.getSampleSize(0) != 8) None
+        else {
+          var sum = 0L
+          val hist = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0) & 0xff
+              sum += v
+              hist(v >> 5) += 1
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          val n = math.max(1L, w.toLong * h)
+          Some((w, h, sum, hist.map(c => c.toFloat / n)))
         }
-        val n = math.max(1L, w.toLong * h)
-        Some((w, h, sum, hist.map(c => c.toFloat / n)))
       }
     }
 

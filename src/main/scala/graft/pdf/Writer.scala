@@ -43,8 +43,16 @@ object PdfWriter {
     case PdfBool(v) => out.write(b(if (v) "true" else "false"))
     case PdfInt(v)  => out.write(b(v.toString))
     case PdfReal(v) =>
-      // Go fmt "%f": fixed six decimal places (primitives.go:213-215)
-      out.write(b("%.6f".formatLocal(java.util.Locale.ROOT, v)))
+      // Go fmt "%f": fixed six decimal places (primitives.go:213-215). Go
+      // rounds the exact binary value half-to-EVEN where Java's %.6f rounds
+      // half-up, so exact-tie values (e.g. 1.0625 at scale 3-like corners)
+      // serialize differently under %.6f — BigDecimal(double) is the exact
+      // decimal expansion, rounded HALF_EVEN to match Go. (-0.0 keeps its
+      // sign like Go's "-0.000000".)
+      val bd = new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_EVEN)
+      val neg0 = v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L
+      out.write(b((if (neg0) "-" else "") + bd.toPlainString))
     case s: PdfStr =>
       out.write('(')
       var i = 0
@@ -146,6 +154,11 @@ object PdfWriter {
   def writeFile(objects: Seq[(Long, PdfObj)],
                 trailerEntries: Seq[(String, PdfObj)],
                 major: Int = 1, minor: Int = 3): Array[Byte] = {
+    // A duplicate original number would silently corrupt the output:
+    // numMap.toMap keeps the last mapping, so two bodies would share one
+    // output object number while the xref counts both entries.
+    require(objects.map(_._1).distinct.length == objects.length,
+      "writeFile: duplicate original object numbers")
     val numMap: Map[Long, Long] =
       objects.map(_._1).zipWithIndex.map { case (o, i) => o -> (i + 1L) }.toMap
     val refTarget = (n: Long) => numMap.get(n)

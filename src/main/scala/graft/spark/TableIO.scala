@@ -44,6 +44,28 @@ object TableIO {
   private def metaDir(warehouse: String): Path = Paths.get(warehouse, "metadata")
   private def hintFile(warehouse: String): Path = metaDir(warehouse).resolve("version-hint.text")
 
+  /** Row count of a parquet file/directory from FOOTER METADATA only — no
+    * Spark job, no data scan (the parquet footer stores per-row-group
+    * counts). This is the local-FS analogue of reading the count off an
+    * Iceberg snapshot's stats: operators that only need |corpus| to size a
+    * parameter (LSH bits, IVF lists) must not pay a full count() pass —
+    * at 100 TB that pass costs more than the query it parameterizes.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(p))
+    files.iterator.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   def currentSnapshot(warehouse: String): Option[Snapshot] = {
     val hint = hintFile(warehouse)
     if (!Files.exists(hint)) return None

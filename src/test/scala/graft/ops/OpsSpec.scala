@@ -86,6 +86,46 @@ class OpsSpec extends AnyFunSuite {
       "(retired checkpoint blocks not released)")
   }
 
+  test("reliable-checkpoint flag: x16 machinery green with .checkpoint()") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val edges = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.values.toSet == Set(0L))
+      // the full x16 path (signature table + CC) under reliable checkpointing
+      val docs = Seq((1L, base), (2L, base.replace("quietly", "silently")),
+        (3L, base)).toDF("doc_id", "text")
+      val cc = Dedup.minhashDupGroupsCC(spark, docs, threshold = 0.6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // the checkpoints actually landed on the reliable FS
+      assert(new java.io.File(dir).listFiles.nonEmpty,
+        "no checkpoint files written under the checkpoint dir")
+    } finally {
+      spark.conf.set("spark.graft.reliableCheckpoint", "false")
+      graft.spark.TableIO.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("imageDecode rejects non-8-bit rasters instead of truncating") {
+    // 16-bit gray PNG: ImageIO parses it, but band-0 & 0xff would silently
+    // truncate the statistics — the decode must return None.
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, 300 * (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.imageDecode(bos.toByteArray).isEmpty)
+    // 8-bit path still decodes
+    assert(Multimodal.imageDecode(Multimodal.syntheticPng(5L)).nonEmpty)
+  }
+
   test("CC dup groups collapse similarity chains the single pass cannot") {
     import spark.implicits._
     // A ~ B (J=0.82) and B ~ C (J=0.79) but A !~ C (J=0.65 < 0.7): the

@@ -24,6 +24,12 @@ class WriterSpec extends AnyFunSuite {
     // Go "%f": fixed six decimals
     assert(ser(PdfReal(0.5)) == "0.500000")
     assert(ser(PdfReal(-3.0)) == "-3.000000")
+    // exact-tie values round HALF-EVEN like Go (Java's %.6f would round
+    // half-up): 1/128 = 0.0078125 exactly -> last kept digit 2 stays even;
+    // 3/128 = 0.0234375 -> 7 is odd, rounds up. -0.0 keeps its sign.
+    assert(ser(PdfReal(0.0078125)) == "0.007812")
+    assert(ser(PdfReal(0.0234375)) == "0.023438")
+    assert(ser(PdfReal(-0.0)) == "-0.000000")
     assert(ser(PdfNull) == "null")
     assert(ser(PdfRef(7, 3)) == "7 0 R") // gen forced to 0 on write
   }
@@ -40,6 +46,16 @@ class WriterSpec extends AnyFunSuite {
     assert(ser(PdfName("Lime Green")) == "/Lime#20Green")
     assert(ser(PdfName("A#B")) == "/A#23B")
     assert(ser(PdfName("p/q(r)")) == "/p#2fq#28r#29")
+  }
+
+  test("writeFile rejects duplicate original object numbers") {
+    // duplicates would silently share one output number while the xref
+    // counted both entries — corrupting the file
+    intercept[IllegalArgumentException] {
+      PdfWriter.writeFile(
+        Seq(1L -> PdfDict("A" -> PdfInt(1)), 1L -> PdfDict("B" -> PdfInt(2))),
+        Seq("Root" -> PdfRef(1, 0)))
+    }
   }
 
   test("arrays join with spaces; dicts have no separator between pairs") {
@@ -112,6 +128,6 @@ class WriterSpec extends AnyFunSuite {
     assert(!s.contains("/Encrypt"))
     assert(Extract(rew).text == "secret words")
     // the plaintext is legible in the rewritten body (it was decrypted)
-    assert(s.contains("secret words") || Extract(rew).status == "ok")
+    assert(s.contains("secret words"))
   }
 }

@@ -146,6 +146,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numBuckets"))
   }
 
+  test("parquetRowCount reads footer metadata only, matches count()") {
+    val p = "/root/testdata/sf0.001/documents.parquet"
+    assert(TableIO.parquetRowCount(spark, p) == spark.read.parquet(p).count())
+  }
+
   test("extraction plan: single shuffle (repartition), kernel in one mapPartitions") {
     val pages = PagesGen.smokeTable(spark)
     val ds = Pipeline.extract(spark, pages, "plan", numPartitions = 4)
