@@ -496,6 +496,26 @@ object SparkEntry {
         .select("doc_id", "width", "height", "n_pixels", "sum_band0")
         .orderBy("doc_id")
     }),
+    "x43_pdf_images" -> ((s, dir) => {
+      import s.implicits._
+      // PDF IMAGE EXTRACTION through the gate: each doc embeds 3 XObject
+      // images (gray-8 Flate / gray-4 raw continuous-bit-stream / RGB-8
+      // Flate) + 1 inline AHx image, all with doc_id pixel formulas
+      // (PdfFixtures.sImages). PdfImages enumerates resources-order
+      // XObjects then content-order inline images and decodes samples per
+      // the reference GetSamples bit-stream semantics; the oracle
+      // recomputes every dimension and band-0 sum as pure SQL arithmetic.
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val scan = graft.pdf.PdfImages.imagesOf(
+            graft.fixtures.PdfFixtures.sImages(text, id))
+          scan.images.map(im => (id, im.idx, im.source, im.width, im.height,
+            im.components, im.bpc, im.band0Sum))
+        }.toDF("doc_id", "idx", "source", "width", "height",
+          "components", "bpc", "band0_sum")
+        .orderBy("doc_id", "idx")
+    }),
     "x26_simhash_pairs" -> ((s, dir) => {
       // Exact hamming<=3 pairs (pigeonhole block-combo scheme); oracle is
       // all-pairs bit_count(xor) over the FNV-based simhashes in DuckDB.
@@ -940,6 +960,24 @@ object SparkEntry {
     },
     "x42_writer_roundtrip" ->
       "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
+    "x43_pdf_images" ->
+      // Mirrors sImages' doc_id -> raster formulas: dims and band-0 sums
+      // are closed-form integer arithmetic per image (x40 recipe family).
+      ("WITH d AS (SELECT doc_id, " +
+        "8 + doc_id % 24 AS w0, 8 + (doc_id // 7) % 16 AS h0, " +
+        "4 + doc_id % 8 AS w1, 4 + (doc_id // 5) % 8 AS h1, " +
+        "4 + doc_id % 6 AS w2, 3 + (doc_id // 3) % 5 AS h2 FROM documents) " +
+        "SELECT doc_id, CAST(0 AS INT) AS idx, 'xobject' AS source, " +
+        "CAST(w0 AS INT) AS width, CAST(h0 AS INT) AS height, " +
+        "CAST(1 AS INT) AS components, CAST(8 AS INT) AS bpc, " +
+        "CAST(list_sum(list_transform(range(0, w0*h0), i -> ((i % w0) + (i // w0) + doc_id) % 256)) AS BIGINT) AS band0_sum FROM d " +
+        "UNION ALL SELECT doc_id, 1, 'xobject', CAST(w1 AS INT), CAST(h1 AS INT), 1, 4, " +
+        "CAST(list_sum(list_transform(range(0, w1*h1), i -> ((i % w1) + (i // w1) + doc_id) % 16)) AS BIGINT) FROM d " +
+        "UNION ALL SELECT doc_id, 2, 'xobject', CAST(w2 AS INT), CAST(h2 AS INT), 3, 8, " +
+        "CAST(list_sum(list_transform(range(0, w2*h2), i -> ((i % w2) + 2*(i // w2) + doc_id) % 256)) AS BIGINT) FROM d " +
+        "UNION ALL SELECT doc_id, 3, 'inline', 8, 6, 1, 8, " +
+        "CAST(list_sum(list_transform(range(0, 48), i -> (2*(i % 8) + (i // 8) + doc_id) % 256)) AS BIGINT) FROM d " +
+        "ORDER BY doc_id, idx"),
     "x41_stream_enrich" ->
       ("SELECT e.event_id, e.user_id, c.c_nationkey, e.event_type " +
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +

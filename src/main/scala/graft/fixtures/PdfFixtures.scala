@@ -312,6 +312,74 @@ object PdfFixtures {
     onePage(s"<< /Length ${cb.length} >>", cb)
   }
 
+  /** sImages: one page with text + THREE XObject images + one inline image,
+    * every raster a deterministic pixel formula of docId (the x43 gate
+    * mirrors the arithmetic in SQL):
+    *  - /Im0 gray 8-bpc FlateDecode, w=8+id%24, h=8+(id/7)%16,
+    *    pix(x,y) = (x+y+id)%256  (the x40 formula family);
+    *  - /Im1 gray 4-bpc RAW, w=4+id%8, h=4+(id/5)%8, pix=(x+y+id)%16,
+    *    nibbles packed MSB-first as one CONTINUOUS bit stream (no row
+    *    padding — exactly the reference GetSamples/ResampleBytes
+    *    semantics, model/sampling/resample.go:10-98);
+    *  - /Im2 RGB 8-bpc FlateDecode, w=4+id%6, h=3+(id/3)%5,
+    *    comp c of (x,y) = (x+2y+3c+id)%256;
+    *  - inline 8x6 gray 8-bpc /AHx (hex data cannot collide with the
+    *    <ws>EI<ws> terminator: 'I' is not a hex char), pix=(2x+y+id)%256.
+    * The text must still extract byte-identically (Do/BI are dropped by the
+    * extractor switch).
+    */
+  def sImages(text: String, docId: Long): Array[Byte] = {
+    val id = docId
+    def gray8(w: Int, h: Int, f: (Int, Int) => Long): Array[Byte] = {
+      val d = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { d(y * w + x) = (f(x, y) & 0xff).toByte; x += 1 }
+        y += 1
+      }
+      d
+    }
+    val w0 = 8 + (id % 24).toInt; val h0 = 8 + ((id / 7) % 16).toInt
+    val im0 = Filters.flateEncode(gray8(w0, h0, (x, y) => (x + y + id) % 256))
+    val w1 = 4 + (id % 8).toInt; val h1 = 4 + ((id / 5) % 8).toInt
+    val n1 = w1 * h1
+    val im1 = new Array[Byte]((n1 + 1) / 2)
+    var i = 0
+    while (i < n1) {
+      val v = (((i % w1) + (i / w1) + id) % 16).toInt
+      if (i % 2 == 0) im1(i / 2) = (v << 4).toByte
+      else im1(i / 2) = (im1(i / 2) | v).toByte
+      i += 1
+    }
+    val w2 = 4 + (id % 6).toInt; val h2 = 3 + ((id / 3) % 5).toInt
+    val rgb = new Array[Byte](w2 * h2 * 3)
+    for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3)
+      rgb((y * w2 + x) * 3 + c) = (((x + 2 * y + 3 * c + id) % 256) & 0xff).toByte
+    val im2 = Filters.flateEncode(rgb)
+    val inlHex = gray8(8, 6, (x, y) => (2 * x + y + id) % 256)
+      .map(v => f"${v & 0xff}%02X").mkString
+    val esc = new String(escapeStringText(text), ISO_8859_1)
+    val c = new ByteArrayOutputStream()
+    c.write(b(s"BT /F1 12 Tf ($esc) Tj ET q /Im0 Do /Im1 Do /Im2 Do Q "))
+    c.write(b(s"BI /W 8 /H 6 /CS /G /BPC 8 /F /AHx ID $inlHex> EI "))
+    val cb = c.toByteArray
+    val res = "<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> " +
+      "/XObject << /Im0 5 0 R /Im1 6 0 R /Im2 7 0 R >> >>"
+    val bld = new Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $res /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${cb.length} >>", cb)
+    bld.streamAuto(5, s"<< /Type /XObject /Subtype /Image /Width $w0 /Height $h0 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode", im0)
+    bld.streamAuto(6, s"<< /Type /XObject /Subtype /Image /Width $w1 /Height $h1 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 4", im1)
+    bld.streamAuto(7, s"<< /Type /XObject /Subtype /Image /Width $w2 /Height $h2 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode", im2)
+    bld.build()
+  }
+
   /** s16: unknown colorspace AFTER partial text -> partial text + error. */
   def s16(): Array[Byte] = {
     val c = b("BT /F1 12 Tf (partial) Tj ET /NoSuchCS CS BT (never) Tj ET")
