@@ -595,13 +595,25 @@ object SparkEntry {
       // The WRITER through the gate: every x10 rotation payload (all 22
       // container families incl. crypt/objstm/repairs) is loaded, its
       // reachable object graph re-serialized by PdfWriter.rewrite (objstms
-      // flattened, repairs normalized, encryption stripped), and the
-      // REWRITTEN file re-extracted — the text must still match
-      // documents.text byte-identically, which is the writer's round-trip
-      // contract (read -> write -> read -> extract).
+      // flattened, repairs normalized), and the REWRITTEN file re-extracted
+      // — the text must still match documents.text byte-identically, the
+      // writer's round-trip contract (read -> write -> read -> extract).
+      // Rotation by doc_id%3: plain / WRITE-ENCRYPTED RC4-128 V2R3 /
+      // WRITE-ENCRYPTED AESV2 V4R4 (empty user password -> transparent
+      // reopen; real owner password -> real O/U/key derivations exercised
+      // on every encrypted doc).
       PagesGen.pagesPdf(s, dir).map { row =>
-        val r = Extract(graft.pdf.PdfWriter.rewrite(row.html))
-        (row.url.substring(row.url.lastIndexOf('-') + 1).toLong, r.text)
+        import graft.pdf.PdfWriter
+        val id = row.url.substring(row.url.lastIndexOf('-') + 1).toLong
+        val enc = (id % 3) match {
+          case 1 => Some(PdfWriter.WriterEncrypt(
+            ownerPass = "graft-owner".getBytes, aes = false, seed = s"x42-$id"))
+          case 2 => Some(PdfWriter.WriterEncrypt(
+            ownerPass = "graft-owner".getBytes, aes = true, seed = s"x42-$id"))
+          case _ => None
+        }
+        val r = Extract(PdfWriter.rewrite(row.html, Nil, enc))
+        (id, r.text)
       }.toDF("doc_id", "extracted").orderBy("doc_id")
     }),
 

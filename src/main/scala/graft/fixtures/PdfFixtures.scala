@@ -540,7 +540,7 @@ object PdfFixtures {
     * encrypted payload (no strings in the fixture's object graph).
     */
   def sEncrypted(text: String, docId: Long, aes: Boolean): Array[Byte] = {
-    import PdfEncrypt._
+    import graft.pdf.PdfEncrypt._
     val content = contentFor(text)
     val p = -1
     val id0 = java.security.MessageDigest.getInstance("MD5")
@@ -788,7 +788,7 @@ object PdfFixtures {
     * the driver's byte-identity oracle. Empty user password.
     */
   def sEncryptedR6(text: String, docId: Long): Array[Byte] = {
-    import PdfEncrypt._
+    import graft.pdf.PdfEncrypt._
     val content = contentFor(text)
     val p = -1
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -826,7 +826,7 @@ object PdfFixtures {
     * (crossrefs.go:317-321). Empty user password.
     */
   def sEncryptedObjstm(text: String, docId: Long): Array[Byte] = {
-    import PdfEncrypt._
+    import graft.pdf.PdfEncrypt._
     val p = -1
     val id0 = java.security.MessageDigest.getInstance("MD5")
       .digest(s"graft-ido-$docId".getBytes(ISO_8859_1))

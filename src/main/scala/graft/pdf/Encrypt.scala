@@ -1,11 +1,11 @@
-package graft.fixtures
+package graft.pdf
 
 import java.security.MessageDigest
 
 import javax.crypto.Cipher
 import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
 
-import graft.pdf.PdfCrypt.{rc4, PasswordPadding}
+import PdfCrypt.{rc4, PasswordPadding}
 
 /** FORWARD direction of the PDF standard security handler, used only by the
   * fixture builders to author encrypted test documents (the engine itself
@@ -147,7 +147,7 @@ object PdfEncrypt {
   def r6Credentials(upass: Array[Byte], opass: Array[Byte], fileKey: Array[Byte],
                     p: Int, encryptMetadata: Boolean,
                     saltSeed: Array[Byte]): (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
-    import graft.pdf.PdfCrypt.alg2bR6
+    import PdfCrypt.alg2bR6
     require(fileKey.length == 32)
     def aesNoPad(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
       val c = Cipher.getInstance("AES/CBC/NoPadding")

@@ -204,6 +204,102 @@ object PdfWriter {
     out.toByteArray
   }
 
+  // ------------------------------------------------------- write encryption
+
+  /** Writer-side encryption parameters (model/writer.go:494-615
+    * PdfWriter.Encrypt): RC4-128 = V2/R3, AES-128 = V4/R4 with the AESV2
+    * StdCF crypt filter (the reference's RC4_128bit / AES_128bit options).
+    * The reference derives /ID and each AES IV from wall-clock time +
+    * crypto/rand (writer.go:552-559); we derive them DETERMINISTICALLY from
+    * `seed` via md5 chains so gates can pin byte-stable output — the
+    * surrounding key material and algorithms are identical.
+    */
+  final case class WriterEncrypt(userPass: Array[Byte] = Array.emptyByteArray,
+                                 ownerPass: Array[Byte] = Array.emptyByteArray,
+                                 aes: Boolean = false,
+                                 seed: String = "graft")
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(h.update)
+    h.digest()
+  }
+
+  /** Encrypt every string in a DIRECT object tree with the object key
+    * (strings and streams are the encrypted primitives; names/numbers ride
+    * in clear — 7.6.2 General Encryption, crypt.go Encrypt).
+    */
+  private def encryptStrings(obj: PdfObj, okey: Array[Byte], aes: Boolean,
+                             nextIv: () => Array[Byte]): PdfObj = obj match {
+    case s: PdfStr =>
+      PdfStr(if (aes) PdfEncrypt.aesEncrypt(okey, nextIv(), s.bytes)
+      else PdfCrypt.rc4(okey, s.bytes))
+    case a: PdfArr =>
+      new PdfArr(a.items.map(encryptStrings(_, okey, aes, nextIv)))
+    case d: PdfDict =>
+      val out = new PdfDict
+      for (k <- d.keys) out.set(k, encryptStrings(d.get(k), okey, aes, nextIv))
+      out
+    case other => other
+  }
+
+  /** writeFile with standard-security-handler encryption: objects are
+    * string/stream-encrypted under their OUTPUT numbers (renumbered 1..n in
+    * input order, generation 0 — the same numbering writeFile assigns), the
+    * /Encrypt dictionary is appended as an extra clear object, and the
+    * trailer gains /Encrypt + /ID. Key material: O via Algorithm 3, file
+    * key via Algorithm 2 (128-bit), U via Algorithm 5, per-object keys via
+    * the objNum/genNum md5 salt (+"sAlT" for AES) — the writer-side mirror
+    * of the reader's Crypt.scala derivations.
+    */
+  def writeFileEncrypted(objects: Seq[(Long, PdfObj)],
+                         trailerEntries: Seq[(String, PdfObj)],
+                         enc: WriterEncrypt): Array[Byte] = {
+    require(objects.nonEmpty, "writeFileEncrypted: no objects")
+    val r = if (enc.aes) 4 else 3
+    val v = if (enc.aes) 4 else 2
+    val id0 = md5(b("graft-wid-" + enc.seed))
+    val o = PdfEncrypt.alg3O(enc.ownerPass, enc.userPass, r, 128)
+    val key = PdfEncrypt.alg2Key(enc.userPass, o, -1, id0, r, 128)
+    val u = PdfEncrypt.alg5U(key, id0)
+    val encObjects = objects.zipWithIndex.map { case ((orig, body), i) =>
+      val outNum = i + 1L // writeFile's renumbering, mirrored here
+      val okey = PdfEncrypt.objectKey(key, outNum, 0, enc.aes)
+      var ivCounter = 0
+      def nextIv(): Array[Byte] = {
+        ivCounter += 1
+        java.util.Arrays.copyOf(md5(b(s"${enc.seed}-iv-$outNum-$ivCounter")), 16)
+      }
+      val newBody: PdfObj = body match {
+        case st: PdfStream =>
+          val encRaw = if (enc.aes) PdfEncrypt.aesEncrypt(okey, nextIv(), st.raw)
+          else PdfCrypt.rc4(okey, st.raw)
+          new PdfStream(st.num, 0,
+            encryptStrings(st.dict, okey, enc.aes, () => nextIv()).asInstanceOf[PdfDict],
+            encRaw)
+        case direct => encryptStrings(direct, okey, enc.aes, () => nextIv())
+      }
+      orig -> newBody
+    }
+    val encNum = objects.map(_._1).max + 1
+    val encDict = PdfDict(
+      "Filter" -> PdfName("Standard"), "V" -> PdfInt(v), "R" -> PdfInt(r),
+      "Length" -> PdfInt(128), "P" -> PdfInt(-1),
+      "O" -> PdfStr(o), "U" -> PdfStr(u))
+    if (enc.aes) {
+      encDict.set("CF", PdfDict("StdCF" -> PdfDict(
+        "Type" -> PdfName("CryptFilter"), "CFM" -> PdfName("AESV2"),
+        "Length" -> PdfInt(16))))
+      encDict.set("StmF", PdfName("StdCF"))
+      encDict.set("StrF", PdfName("StdCF"))
+    }
+    writeFile(encObjects :+ (encNum -> (encDict: PdfObj)),
+      trailerEntries ++ Seq(
+        "Encrypt" -> PdfRef(encNum, 0),
+        "ID" -> PdfArr(PdfStr(id0), PdfStr(id0))),
+      major = 1, minor = if (enc.aes) 5 else 4) // SetVersion(1,5) for AES
+  }
+
   // -------------------------------------------------------- fresh authoring
 
   /** Author a minimal document with the NewPdfWriter scaffold: Info
@@ -260,7 +356,8 @@ object PdfWriter {
     * write path). Traversal is iterative (explicit stacks — no JVM
     * recursion on hostile nesting) and cycle-guarded by object number.
     */
-  def rewrite(data: Array[Byte], passwords: Seq[Array[Byte]] = Nil): Array[Byte] = {
+  def rewrite(data: Array[Byte], passwords: Seq[Array[Byte]] = Nil,
+              encrypt: Option[WriterEncrypt] = None): Array[Byte] = {
     val doc = PdfDocument.open(data, passwords) // parses + authenticates
     val parser = doc.parser
     val trailer = parser.trailer
@@ -342,6 +439,9 @@ object PdfWriter {
     val trailerEntries =
       infoNum.map(n => "Info" -> (PdfRef(n, 0): PdfObj)).toSeq :+
         ("Root" -> (PdfRef(rootNum, 0): PdfObj))
-    writeFile(collected.toSeq, trailerEntries)
+    encrypt match {
+      case Some(e) => writeFileEncrypted(collected.toSeq, trailerEntries, e)
+      case None    => writeFile(collected.toSeq, trailerEntries)
+    }
   }
 }

@@ -116,6 +116,51 @@ class WriterSpec extends AnyFunSuite {
     }
   }
 
+  test("write-side encryption: RC4 and AESV2 round-trip, plaintext hidden") {
+    import PdfWriter.WriterEncrypt
+    val src = PagesGen.payloadFor(7L, "crypted content here", 0) // classic xref
+    for (aes <- Seq(false, true)) {
+      val enc = PdfWriter.rewrite(src, Nil,
+        Some(WriterEncrypt(ownerPass = "own3r".getBytes, aes = aes, seed = "t")))
+      val s = new String(enc, ISO_8859_1)
+      assert(s.contains("/Encrypt"))
+      if (aes) {
+        assert(s.startsWith("%PDF-1.5")) // SetVersion(1,5) for AESV2
+        assert(s.contains("/AESV2") && s.contains("/StdCF"))
+      } else assert(s.contains("/V 2") && s.contains("/R 3"))
+      // the plaintext must NOT be legible in the encrypted body
+      assert(!s.contains("crypted content here"), s"aes=$aes plaintext leaked")
+      // empty user password -> transparent reopen through the full kernel
+      assert(Extract(enc).status == "ok")
+      assert(Extract(enc).text == "crypted content here", s"aes=$aes")
+    }
+  }
+
+  test("write-side encryption: user password required when non-empty") {
+    import PdfWriter.WriterEncrypt
+    val src = PagesGen.payloadFor(8L, "user locked", 0)
+    val enc = PdfWriter.rewrite(src, Nil, Some(WriterEncrypt(
+      userPass = "s3cret".getBytes, ownerPass = "own3r".getBytes,
+      aes = true, seed = "u")))
+    // wrong/no password fails authentication
+    intercept[Exception] { PdfDocument.open(enc) }
+    // user password opens; owner password ALSO opens (algorithm 7 path)
+    for (pass <- Seq("s3cret", "own3r")) {
+      val doc = PdfDocument.open(enc, Seq(pass.getBytes))
+      assert(doc.pages.length == 1)
+    }
+    // and the re-rewrite (decrypt on load) round-trips the text
+    assert(Extract(PdfWriter.rewrite(enc, Seq("s3cret".getBytes))).text == "user locked")
+  }
+
+  test("write-side encryption is deterministic per seed") {
+    import PdfWriter.WriterEncrypt
+    val src = PagesGen.payloadFor(9L, "stable bytes", 0)
+    def once() = PdfWriter.rewrite(src, Nil,
+      Some(WriterEncrypt(ownerPass = "o".getBytes, aes = true, seed = "det")))
+    assert(java.util.Arrays.equals(once(), once()))
+  }
+
   test("rewrite flattens object streams and strips encryption") {
     // objstm + xref-stream container comes out as a classic-xref file
     val rew7 = new String(PdfWriter.rewrite(PagesGen.payloadFor(1L, "t", 2)), ISO_8859_1)
