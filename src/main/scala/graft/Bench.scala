@@ -282,7 +282,7 @@ object Bench {
       "q05_token_count", "q06_exact_dedup", "q09_ann_topk", "x16_minhash_groups",
       "x17_simhash", "x14_ann_lsh", "x20_multimodal_decode", "x25_minhash_pairs",
       "x27_bpe_tokens", "x28_winnow", "x29_ann_ivf", "x39_bpe_merges",
-      "x40_image_decode")
+      "x40_image_decode", "x42_writer_roundtrip", "x43_pdf_images")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val queryTimesWarm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (name <- headline) SparkEntry.queries.get(name) match {

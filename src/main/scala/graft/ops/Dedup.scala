@@ -163,6 +163,25 @@ object Dedup {
       .withColumn("mh_bands", bandUdf(col("mh_sig")))
   }
 
+  /** FNV-1a 64 over the little-endian bytes of a signature, seeded —
+    * two seeds give the two independent halves of the 128-bit group key.
+    */
+  private def sigHash(sig: Array[Long], seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < sig.length) {
+      var v = sig(i)
+      var b = 0
+      while (b < 8) {
+        h = (h ^ (v & 0xffL)) * 0x100000001b3L
+        v >>>= 8
+        b += 1
+      }
+      i += 1
+    }
+    h
+  }
+
   /** Near-duplicate PAIRS via MinHash LSH, verified with exact Jaccard.
     * Returns (a, b, inter, un, jaccard) with a < b; inter/un are the exact
     * shingle-set intersection/union sizes (integers — oracle-comparable).
@@ -180,14 +199,24 @@ object Dedup {
                             idCol: String = "doc_id", textCol: String = "text",
                             maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-    // Signature-group key: TWO independent 64-bit hashes (128 bits). A
-    // single 64-bit key would collide above ~4x10^9 distinct signatures
-    // (birthday bound at the 10^12-doc design point), silently merging
+    // ONE fused UDF emits the band keys + the signature-group key directly:
+    // the raw 64-long signature never materializes into a row, saving an
+    // array ser/deser and a second UDF pass in the hottest stage. The group
+    // key stays TWO independent seeded 64-bit hashes (128 bits): a single
+    // 64-bit key would collide above ~4x10^9 distinct signatures (birthday
+    // bound at the 10^12-doc design point), silently merging
     // different-signature docs into one group and dropping their bands.
-    val withSig = withMinhash(base, "t")
-      .filter(size(col("mh_sig")) > 0) // zero-shingle docs: exact path instead
-      .withColumn("sk", struct(xxhash64(col("mh_sig")).as("h1"),
-        xxhash64(lit("mh-salt"), col("mh_sig")).as("h2")))
+    // Zero-shingle docs return null -> excluded (exact path instead).
+    val fusedUdf = udf((s: String) => {
+      val sig = minhashSignature(s)
+      if (sig.isEmpty) None
+      else Some((bandKeys(sig), sigHash(sig, 0L), sigHash(sig, 0x9e3779b97f4a7c15L)))
+    })
+    val withSig = base.withColumn("mh", fusedUdf(col("t")))
+      .filter(col("mh").isNotNull)
+      .select(col("id"),
+        struct(col("mh._2").as("h1"), col("mh._3").as("h2")).as("sk"),
+        col("mh._1").as("mh_bands"))
     // Materialize the signature table ONCE: members and reps would
     // otherwise each re-scan the corpus and re-run the signature UDF (the
     // single most expensive stage) — the standard persist-the-signatures
@@ -205,12 +234,16 @@ object Dedup {
     // One representative (min id) per distinct signature.
     val members = sigTbl.select(col("sk"), col("id"))
     val reps = sigTbl.groupBy("sk")
-      .agg(min("id").as("rid"), first("mh_bands").as("bands"), count(lit(1)).as("grp_n"))
+      .agg(min("id").as("rid"), first("mh_bands").as("bands"))
     val exploded = reps.select(col("sk"), col("rid"), explode(col("bands")).as("band"))
-    // Degenerate-band guard: drop band buckets larger than the cap.
-    val bucketOk = exploded.groupBy("band").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBandBucket).select("band")
-    val bounded = exploded.join(bucketOk, "band")
+    // Degenerate-band guard: drop band buckets larger than the cap. A
+    // window count over the band partitioning does it in the ONE shuffle
+    // the band self-join needs anyway (a groupBy+join-back would add two).
+    val bounded = exploded
+      .withColumn("bn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band")))
+      .filter(col("bn") <= maxBandBucket)
+      .drop("bn")
     // Candidate SIGNATURE pairs (rep level — a million identical docs cost
     // one row here)...
     val candidates = bounded.as("l")
@@ -219,16 +252,20 @@ object Dedup {
       .distinct()
     // ...expanded to member-id pairs (same-signature members share the same
     // bands, so each member pair is a legitimate LSH candidate), plus the
-    // intra-group pairs (identical signature).
+    // intra-group pairs (identical signature; the self-join yields nothing
+    // for singleton groups, so no pre-filter join is needed).
     val cross = candidates
       .join(members.withColumnRenamed("sk", "ska").withColumnRenamed("id", "ia"), "ska")
       .join(members.withColumnRenamed("sk", "skb").withColumnRenamed("id", "ib"), "skb")
       .select(least(col("ia"), col("ib")).as("a"), greatest(col("ia"), col("ib")).as("b"))
-    val multi = members.join(reps.filter(col("grp_n") > 1).select("sk"), "sk")
-    val intra = multi.as("l")
-      .join(multi.as("r"), col("l.sk") === col("r.sk") && col("l.id") < col("r.id"))
+    val intra = members.as("l")
+      .join(members.as("r"), col("l.sk") === col("r.sk") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
-    cross.unionByName(intra).distinct()
+    // No final distinct needed: a doc has exactly one signature, so a cross
+    // pair appears under exactly one (ska, skb) key (deduped at rep level
+    // before expansion) and cross/intra are disjoint (different vs identical
+    // signature) — the union is duplicate-free by construction.
+    cross.unionByName(intra)
   }
 
   def minhashDupPairs(spark: SparkSession, docs: DataFrame,
@@ -245,11 +282,18 @@ object Dedup {
     // O(distinct text pairs) while every member pair still carries its own
     // exact integer counts.
     val texts = docs.select(col(idCol).as("tid"), col(textCol).as("ttext"))
-    val withTexts = candidates
+    // Materialize the candidate+text table ONCE: it feeds BOTH the
+    // verification branch and the final verdict join, and without a
+    // checkpoint Spark re-derives the entire candidate pipeline (signature
+    // agg, banding, window cap, expansion joins) for each consumer — the
+    // whole DAG literally twice in the physical plan. Size is bounded by
+    // the candidate count (<< corpus; the same rows already flow through
+    // the verification shuffle), so this is strictly cheaper at any scale.
+    val withTexts = eagerCheckpoint(candidates
       .join(texts.withColumnRenamed("tid", "a").withColumnRenamed("ttext", "ta"), "a")
       .join(texts.withColumnRenamed("tid", "b").withColumnRenamed("ttext", "tb"), "b")
       .withColumn("ka", sha2(col("ta"), 256))
-      .withColumn("kb", sha2(col("tb"), 256))
+      .withColumn("kb", sha2(col("tb"), 256)))
     val cntUdf = udf((x: String, y: String) => jaccardCounts(x, y))
     val verified = withTexts.select("ka", "kb", "ta", "tb")
       .dropDuplicates("ka", "kb")
@@ -287,7 +331,47 @@ object Dedup {
     * plausible near-dup chain — a >100-hop chain of successive edits would
     * need 100+ documents each within Jaccard 0.7 of the next).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+  /** Edge-count threshold for the driver union-find fast path: 4M symmetric
+    * edges ~ 64 MB collected — trivial driver memory, and union-find closes
+    * the components in milliseconds where the distributed loop pays
+    * several full job round-trips PER ITERATION. Near-dup graphs are tiny
+    * relative to their corpus (edges exist only between verified near-dups),
+    * so even multi-TB corpora usually land under this; a corpus whose dup
+    * graph is genuinely huge takes the iterative path unchanged.
+    */
+  val DefaultMaxDriverEdges = 4000000L
+
+  /** Driver union-find (path halving + min-id union — amortized near-linear)
+    * over a SMALL symmetric edge list; labels = min vertex id per component,
+    * exactly the distributed loop's fixpoint.
+    */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // find root
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    for ((a, b) <- edges) {
+      val ra = find(a)
+      val rb = find(b)
+      // union by MIN id: the min stays root, so roots are final labels
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val vs = scala.collection.mutable.HashSet.empty[Long]
+    for ((a, b) <- edges) { vs += a; vs += b }
+    vs.toArray.map(v => v -> find(v))
+  }
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100,
+                          maxDriverEdges: Long = DefaultMaxDriverEdges): DataFrame = {
     // localCheckpoint + capture of the block-backed RDDs it registered:
     // Dataset.unpersist is a CacheManager call and does NOT free
     // localCheckpoint blocks, so to actually release a retired round we
@@ -305,10 +389,27 @@ object Dedup {
     }
     def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
       rdds.foreach(_.unpersist(blocking = false))
+    // SIZE-ADAPTIVE: a near-dup graph is tiny relative to its corpus (edges
+    // only between verified near-dups). The input pairs are materialized
+    // ONCE; when they fit the driver comfortably, union-find closes the
+    // components in one collect instead of paying join+checkpoint+count
+    // round-trips per propagation round (and skips the symmetric-union
+    // distinct shuffle entirely — union-find tolerates duplicate edges).
+    // The distributed loop below is unchanged for genuinely huge dup graphs.
+    val (rawPairs, rawRdds) = ckpt(pairs.select(col("a"), col("b")))
+    val pairCount = rawPairs.count() // one cheap job over checkpoint blocks
+    if (2 * pairCount <= maxDriverEdges) {
+      val collected = rawPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      release(rawRdds)
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return spark.createDataset(unionFindLabels(collected).toSeq).toDF("id", "label")
+    }
     val (edges, edgeRdds) = ckpt(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      rawPairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(rawPairs.select(col("b").as("src"), col("a").as("dst")))
         .distinct())
+    release(rawRdds)
     // Seed = the single-pass min-neighbor labels (identical to one
     // propagation round from identity labels, at the cost of one groupBy
     // instead of a join + groupBy) — saves a full round on every graph.

@@ -65,10 +65,16 @@ class OpsSpec extends AnyFunSuite {
     }
     val expected = (0 until n).groupBy(find).values
       .flatMap(vs => { val m = vs.min; vs.map(_ -> m) }).toMap
-    val labels = Dedup.connectedComponents(edges.toDF("a", "b"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
-    assert(labels.nonEmpty)
-    for ((v, l) <- labels) assert(l == expected(v), s"vertex $v")
+    // both paths: driver union-find (default threshold) AND the
+    // distributed label-propagation loop (threshold 0) must agree with
+    // the ground truth — they are the same operator at two scales.
+    for (maxDriverEdges <- Seq(Dedup.DefaultMaxDriverEdges, 0L)) {
+      val labels = Dedup.connectedComponents(edges.toDF("a", "b"),
+        maxDriverEdges = maxDriverEdges)
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+      assert(labels.nonEmpty)
+      for ((v, l) <- labels) assert(l == expected(v), s"vertex $v (mde=$maxDriverEdges)")
+    }
   }
 
   test("connectedComponents releases retired rounds' checkpoint blocks") {
@@ -79,7 +85,9 @@ class OpsSpec extends AnyFunSuite {
     // registered and getPersistentRDDs would grow by ~1 per round.
     val edges = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     val before = sc.getPersistentRDDs.size
-    val labels = Dedup.connectedComponents(edges)
+    // maxDriverEdges=0 forces the DISTRIBUTED loop (the block-release path
+    // under test; the driver fast path would skip the loop entirely)
+    val labels = Dedup.connectedComponents(edges, maxDriverEdges = 0L)
     assert(labels.select(min("label")).head().getLong(0) == 0L)
     val after = sc.getPersistentRDDs.size
     assert(after - before <= 2, s"persistent RDDs grew $before -> $after " +
