@@ -617,6 +617,26 @@ object SparkEntry {
       }.toDF("doc_id", "extracted").orderBy("doc_id")
     }),
 
+    "x44_creator_layout" -> ((s, dir) => {
+      import s.implicits._
+      // CREATOR-LITE LAYOUT through the gate: a paragraph of constant-width
+      // words ('w' + 4 digits: Helvetica 722 + 4x556 = 2946, space 278)
+      // wrapped by the reference wrapText semantics (size 10, wrapWidth
+      // 180 -> exactly 5 words + trailing space per full line), authored
+      // one-paragraph-per-page via the writer scaffold and re-extracted by
+      // our golden extractor. The oracle rebuilds the wrapped text as pure
+      // SQL string aggregation — any drift in the AFM widths, the greedy
+      // loop, the trailing-space quirk, authoring, or extraction breaks
+      // the hash.
+      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .map { id =>
+          val n = 20 + (id % 30).toInt
+          val words = (0 until n).map(j => f"w${(id + j) % 10000}%04d")
+          val doc = graft.pdf.Creator.authorParagraphs(
+            Seq(words.mkString(" "), s"end $id"))
+          (id, Extract(doc).text)
+        }.toDF("doc_id", "extracted").orderBy("doc_id")
+    }),
     "x41_stream_enrich" -> ((s, dir) => {
       // Stream-static enrichment through the streaming gate: events stream
       // inner-joined to the STATIC customer dimension (broadcast) on
@@ -990,6 +1010,23 @@ object SparkEntry {
         "UNION ALL SELECT doc_id, 3, 'inline', 8, 6, 1, 8, " +
         "CAST(list_sum(list_transform(range(0, 48), i -> (2*(i % 8) + (i // 8) + doc_id) % 256)) AS BIGINT) FROM d " +
         "ORDER BY doc_id, idx"),
+    "x44_creator_layout" ->
+      // Mirrors x44's synthesis: n words of 'w'+lpad4, 5 words per line
+      // (constant-width words under the pinned Helvetica metrics), full
+      // lines keep their trailing space, lines join with \n, page 2 is
+      // "end <id>" after the page-glue newline.
+      ("WITH d AS (SELECT doc_id, 20 + doc_id % 30 AS n FROM documents), " +
+        "w AS (SELECT d.doc_id, r.j AS j, " +
+        "'w' || lpad(CAST((d.doc_id + r.j) % 10000 AS VARCHAR), 4, '0') AS word " +
+        "FROM d, range(0, 50) r(j) WHERE r.j < d.n), " +
+        "l AS (SELECT doc_id, CAST(j // 5 AS BIGINT) AS li, " +
+        "string_agg(word, ' ' ORDER BY j) AS line FROM w GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, max(li) AS mx FROM l GROUP BY 1), " +
+        "p1 AS (SELECT l.doc_id, string_agg(" +
+        "CASE WHEN li < mx THEN line || ' ' ELSE line END, chr(10) ORDER BY li) AS t " +
+        "FROM l JOIN m ON l.doc_id = m.doc_id GROUP BY 1) " +
+        "SELECT doc_id, t || chr(10) || 'end ' || CAST(doc_id AS VARCHAR) AS extracted " +
+        "FROM p1 ORDER BY doc_id"),
     "x41_stream_enrich" ->
       ("SELECT e.event_id, e.user_id, c.c_nationkey, e.event_type " +
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +

@@ -1,0 +1,153 @@
+package graft.pdf
+
+import scala.collection.mutable
+
+/** Creator-lite paragraph layout: the reference creator's text-wrapping
+  * semantics (creator/paragraph.go wrapText) over the standard-14 AFM
+  * metric tables (model/fonts/helvetica.go, courier.go — public Adobe AFM
+  * data), authored through the PdfWriter scaffold.
+  *
+  * wrapText re-creates the reference loop exactly:
+  *  - CHARACTER-greedy accumulation: overflow when lineWidth + w exceeds
+  *    wrapWidth*1000, with w = fontSize * Wx;
+  *  - on overflow, back up to the LAST SPACE of the line (strictly
+  *    positive index): the emitted line KEEPS that trailing space and the
+  *    consumed prefix of the overflowing word carries to the next line —
+  *    so words wrap atomically; with no space, break on the character;
+  *  - '\n' (controlLF) forces a line break;
+  *  - a rune with no glyph metrics is an ERROR (reference returns
+  *    "Glyph not found for rune").
+  */
+object Creator {
+
+  /** Helvetica Wx per printable-ASCII char (model/fonts/helvetica.go —
+    * Adobe AFM widths, glyph names mapped to their ASCII chars).
+    */
+  val HelveticaWidths: Map[Char, Int] = Map(
+    ' ' -> 278, '!' -> 278, '"' -> 355, '#' -> 556, '$' -> 556,
+    '%' -> 889, '&' -> 667, '\'' -> 191, '(' -> 333, ')' -> 333,
+    '*' -> 389, '+' -> 584, ',' -> 278, '-' -> 333, '.' -> 278,
+    '/' -> 278, '0' -> 556, '1' -> 556, '2' -> 556, '3' -> 556,
+    '4' -> 556, '5' -> 556, '6' -> 556, '7' -> 556, '8' -> 556,
+    '9' -> 556, ':' -> 278, ';' -> 278, '<' -> 584, '=' -> 584,
+    '>' -> 584, '?' -> 556, '@' -> 1015, 'A' -> 667, 'B' -> 667,
+    'C' -> 722, 'D' -> 722, 'E' -> 667, 'F' -> 611, 'G' -> 778,
+    'H' -> 722, 'I' -> 278, 'J' -> 500, 'K' -> 667, 'L' -> 556,
+    'M' -> 833, 'N' -> 722, 'O' -> 778, 'P' -> 667, 'Q' -> 778,
+    'R' -> 722, 'S' -> 667, 'T' -> 611, 'U' -> 722, 'V' -> 667,
+    'W' -> 944, 'X' -> 667, 'Y' -> 667, 'Z' -> 611, '[' -> 278,
+    '\\' -> 278, ']' -> 278, '^' -> 469, '_' -> 556, '`' -> 333,
+    'a' -> 556, 'b' -> 556, 'c' -> 500, 'd' -> 556, 'e' -> 556,
+    'f' -> 278, 'g' -> 556, 'h' -> 556, 'i' -> 222, 'j' -> 222,
+    'k' -> 500, 'l' -> 222, 'm' -> 833, 'n' -> 556, 'o' -> 556,
+    'p' -> 556, 'q' -> 556, 'r' -> 333, 's' -> 500, 't' -> 278,
+    'u' -> 556, 'v' -> 500, 'w' -> 722, 'x' -> 500, 'y' -> 500,
+    'z' -> 500, '{' -> 334, '|' -> 260, '}' -> 334, '~' -> 584)
+
+  /** Glyph width for (font, char); Courier is monospaced at 600
+    * (model/fonts/courier.go: every CharMetrics Wx is 600).
+    */
+  def widthOf(font: String, c: Char): Option[Int] =
+    if (font.startsWith("Courier")) {
+      if (c >= ' ' && c <= '~') Some(600) else None
+    } else HelveticaWidths.get(c)
+
+  final case class ParagraphStyle(font: String = "Helvetica",
+                                  fontSize: Double = 10.0,
+                                  wrapWidth: Double = 180.0,
+                                  leading: Double = 12.0)
+
+  /** creator/paragraph.go wrapText — see object doc for the semantics. */
+  def wrapText(text: String, style: ParagraphStyle): Seq[String] = {
+    val lines = mutable.ArrayBuffer.empty[String]
+    val line = new java.lang.StringBuilder
+    var widths = mutable.ArrayBuffer.empty[Double]
+    var lineWidth = 0.0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (ch == '\n') { // controlLF: hard break
+        lines += line.toString
+        line.setLength(0)
+        widths = mutable.ArrayBuffer.empty[Double]
+        lineWidth = 0.0
+      } else {
+        val wx = widthOf(style.font, ch).getOrElse(
+          throw new PdfError(s"Glyph not found for rune: $ch"))
+        val w = style.fontSize * wx
+        if (lineWidth + w > style.wrapWidth * 1000.0) {
+          val idx = line.toString.lastIndexOf(' ')
+          if (idx > 0) { // strictly positive, like the reference
+            val s = line.toString
+            lines += s.substring(0, idx + 1) // trailing space KEPT
+            line.setLength(0)
+            line.append(s.substring(idx + 1)).append(ch)
+            widths = widths.drop(idx + 1) :+ w
+            lineWidth = widths.sum
+          } else {
+            lines += line.toString
+            line.setLength(0)
+            line.append(ch)
+            widths = mutable.ArrayBuffer(w)
+            lineWidth = w
+          }
+        } else {
+          line.append(ch)
+          lineWidth += w
+          widths += w
+        }
+      }
+      i += 1
+    }
+    if (line.length > 0) lines += line.toString
+    lines.toSeq
+  }
+
+  private def escape(s: String): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => sb.append("\\(")
+        case ')' => sb.append("\\)")
+        case '\\' => sb.append("\\\\")
+        case '\r' => sb.append("\\r")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def num(v: Double): String =
+    if (v == math.floor(v) && !v.isInfinite) v.toLong.toString
+    else v.toString
+
+  /** Content stream for a wrapped paragraph: the initial Tm positions the
+    * cursor WITHOUT emitting glue (y ascends from the origin, x is
+    * unchanged — Extractor.Tm emits only on y-descent / x-ascent), each
+    * following line moves 0 -leading Td (ty<0 -> "\n" under the golden
+    * extractor). Extraction therefore returns the wrapped lines joined by
+    * newlines, byte-identically.
+    */
+  def paragraphContent(lines: Seq[String], style: ParagraphStyle): Array[Byte] = {
+    val sb = new java.lang.StringBuilder
+    sb.append(s"BT /F1 ${num(style.fontSize)} Tf 1 0 0 1 0 792 Tm ")
+    for ((ln, i) <- lines.zipWithIndex) {
+      if (i > 0) sb.append(s"0 -${num(style.leading)} Td ")
+      sb.append('(').append(escape(ln)).append(") Tj ")
+    }
+    sb.append("ET")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Author a document with one wrapped paragraph per page (the
+    * NewPdfWriter scaffold via authorSimple; pages join with "\n" on
+    * extraction).
+    */
+  def authorParagraphs(paragraphs: Seq[String],
+                       style: ParagraphStyle = ParagraphStyle()): Array[Byte] =
+    PdfWriter.authorSimple(
+      paragraphs.map(p => paragraphContent(wrapText(p, style), style)),
+      baseFont = style.font)
+}

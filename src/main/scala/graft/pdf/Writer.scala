@@ -308,7 +308,8 @@ object PdfWriter {
     * (writer.go:113-125), one Page + content stream per entry.
     */
   def authorSimple(contentStreams: Seq[Array[Byte]],
-                   producer: String = "unidocspark"): Array[Byte] = {
+                   producer: String = "unidocspark",
+                   baseFont: String = "Helvetica"): Array[Byte] = {
     val n = contentStreams.length
     val info = PdfDict(
       "Producer" -> PdfStr.ascii(producer),
@@ -335,7 +336,7 @@ object PdfWriter {
           "Font" -> PdfDict("F1" -> PdfDict(
             "Type" -> PdfName("Font"),
             "Subtype" -> PdfName("Type1"),
-            "BaseFont" -> PdfName("Helvetica")))),
+            "BaseFont" -> PdfName(baseFont)))),
         "Contents" -> PdfRef(contNum, 0))
       objs += pageNum -> page
       objs += contNum -> new PdfStream(contNum, 0,
