@@ -216,6 +216,67 @@ object Similarity {
   def listsFor(corpusSize: Long): Int =
     math.max(2, math.ceil(math.sqrt(math.max(1.0, corpusSize.toDouble))).toInt)
 
+  private def nearestIdx(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Assignment lists are scanned two-level above this many centroids; a
+    * small centroid set is cheaper to scan directly.
+    */
+  val DirectAssignMaxLists = 32
+
+  /** Two-level coarse-over-coarse centroid index: the nLists centroids are
+    * themselves clustered (tiny driver-side Lloyd) into ~sqrt(nLists)
+    * super-centroids. A row then scans all supers plus only the member
+    * centroids of its `superProbes` nearest supers — per-row distance
+    * evals ~ sqrt(L)·(1 + superProbes·avgMembers/sqrt(L)) instead of L,
+    * the sublinear-assignment requirement at nLists ~ 10^6 (10^12 rows).
+    * Super-boundary assignment is approximate; IVF is already approximate,
+    * and ScaleSpec pins BOTH end-to-end recall and the eval budget.
+    * Returns (superCentroids, memberCentroidIndices per super).
+    */
+  private[ops] def buildSuperIndex(cents: Array[Array[Double]], nSuper: Int,
+                                   iters: Int = 5): (Array[Array[Double]], Array[Array[Int]]) = {
+    val L = cents.length
+    val k = math.max(1, math.min(nSuper, L))
+    var supers = Array.tabulate(k)(i => cents((i.toLong * L / k).toInt).clone())
+    var it = 0
+    while (it <= iters) {
+      val groups = Array.fill(k)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      var ci = 0
+      while (ci < L) { groups(nearestIdx(cents(ci), supers)) += ci; ci += 1 }
+      val members = groups.map(_.toArray)
+      if (it == iters) return (supers, members)
+      supers = Array.tabulate(k) { si =>
+        val g = members(si)
+        if (g.isEmpty) supers(si) // empty super keeps its position
+        else {
+          val m = new Array[Double](cents(0).length)
+          for (c <- g) {
+            var d = 0
+            while (d < m.length) { m(d) += cents(c)(d); d += 1 }
+          }
+          var d = 0
+          while (d < m.length) { m(d) /= g.length; d += 1 }
+          m
+        }
+      }
+      it += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nLists` cells; queries scan only their `nProbe` closest
     * cells. The scale path when LSH's hash-only buckets under-fit the data
@@ -234,7 +295,8 @@ object Similarity {
               k: Int = 10, nLists: Int = -1, nProbe: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding",
               seed: Long = 42L, trainSample: Int = 100000,
-              rowCount: Long = -1L): DataFrame = {
+              rowCount: Long = -1L, superProbes: Int = 2,
+              distEvals: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
@@ -260,10 +322,62 @@ object Similarity {
     val model = new KMeans()
       .setK(math.max(2, math.min(lists.toLong, trainCap).toInt))
       .setSeed(seed).setMaxIter(10).setFeaturesCol("__vec").fit(train)
-    val assigned = model.transform(withVec)
-      .withColumnRenamed("prediction", "list_id")
-      .drop("__vec")
     val centroids = model.clusterCenters.map(_.toArray)
+    // --- assignment: SUBLINEAR in nLists via the two-level centroid index
+    // (a per-row linear scan is 10^6 distance evals/row at the 10^12-row
+    // design point). Small centroid sets scan directly. `distEvals` counts
+    // actual distance evaluations for the ScaleSpec sublinearity pin.
+    val actualLists = centroids.length
+    val direct = actualLists <= DirectAssignMaxLists
+    // 1.5x sqrt(L) supers: centroid clustering is skewed in practice, so a
+    // few extra supers keep the probed member count (the dominant term)
+    // well under the eval budget.
+    val (supers, superMembers) =
+      if (direct) (Array.empty[Array[Double]], Array.empty[Array[Int]])
+      else buildSuperIndex(centroids, math.ceil(1.5 * math.sqrt(actualLists)).toInt)
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    val bcSupers = spark.sparkContext.broadcast(supers)
+    val bcMembers = spark.sparkContext.broadcast(superMembers)
+    val probesN = math.max(1, superProbes)
+    val assignUdf = udf((vf: Seq[Float]) => {
+      val v = new Array[Double](vf.length)
+      var d = 0
+      while (d < v.length) { v(d) = vf(d).toDouble; d += 1 }
+      val cents = bcCents.value
+      if (direct) {
+        distEvals.foreach(_.add(cents.length))
+        nearestIdx(v, cents)
+      } else {
+        val sup = bcSupers.value
+        val mem = bcMembers.value
+        // rank supers, keep the probesN nearest
+        val sDist = new Array[Double](sup.length)
+        var si = 0
+        while (si < sup.length) {
+          val c = sup(si)
+          var dist = 0.0
+          var j = 0
+          while (j < c.length) { val t = c(j) - v(j); dist += t * t; j += 1 }
+          sDist(si) = dist
+          si += 1
+        }
+        var evals = sup.length.toLong
+        val order = sDist.zipWithIndex.sortBy(_._1).take(probesN).map(_._2)
+        var best = 0
+        var bestD = Double.MaxValue
+        for (s <- order; ci <- mem(s)) {
+          val c = cents(ci)
+          var dist = 0.0
+          var j = 0
+          while (j < c.length) { val t = c(j) - v(j); dist += t * t; j += 1 }
+          evals += 1
+          if (dist < bestD || (dist == bestD && ci < best)) { bestD = dist; best = ci }
+        }
+        distEvals.foreach(_.add(evals))
+        best
+      }
+    })
+    val assigned = embeddings.withColumn("list_id", assignUdf(col(embCol)))
     // Probe lists per query: closest centroids by L2 (the quantizer metric),
     // computed driver-side (centroids are tiny).
     val queryVecs = embeddings.filter(col(idCol).isInCollection(queryIds))
