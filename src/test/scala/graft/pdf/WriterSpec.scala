@@ -161,6 +161,54 @@ class WriterSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(once(), once()))
   }
 
+  test("annotator: hand-computed line appearance polygon (horizontal, w=2)") {
+    import Annotator._
+    // theta=0, mul=1 -> Vs=(0,1); V1..V4 = (0,2),(10,2),(10,0),(0,0): the
+    // reference draws the stroke as a filled band ABOVE the segment
+    // (shapes.go:216-233 quirk, not centered)
+    val b = line(LineDef(0, 0, 10, 0, Rgb(1, 0, 0), width = 2))
+    val content = new String(b.formContent, ISO_8859_1)
+    assert(content == "q\n1 0 0 rg\n0 2 m\n10 2 l\n10 0 l\n0 0 l\nf\nQ\n")
+    assert(b.bbox == (0.0, 0.0, 10.0, 2.0))
+    assert(b.rect == (0.0, 0.0, 10.0, 2.0))
+  }
+
+  test("annotator: line/square/circle appearance streams round-trip + validate") {
+    import Annotator._
+    val annots = Seq(
+      line(LineDef(100, 100, 200, 150, Rgb(1, 0, 0), width = 2, opacity = 0.5)),
+      rectangle(RectDef(50, 300, 80, 40, fill = Some(Rgb(0, 1, 0)),
+        border = Some((Rgb(0, 0, 1), 2)))),
+      circle(RectDef(300, 500, 60, 60, fill = None,
+        border = Some((Rgb(0, 0, 0), 1)))))
+    val doc = authorAnnotated("annotated page", annots)
+    // the kernel opens it: loadAnnotations validates all three markup dicts
+    val opened = PdfDocument.open(doc)
+    assert(opened.pages.length == 1)
+    assert(Extract(doc).status == "ok")
+    assert(Extract(doc).text == "annotated page")
+    // the appearance forms are enumerable Form XObjects with the expected
+    // painter op tails: filled line 'f', fill+border square 'B',
+    // border-only circle 'S' drawn as 4 beziers
+    val s = new String(doc, ISO_8859_1)
+    assert(s.contains("/Subtype /Line") && s.contains("/Subtype /Square") &&
+      s.contains("/Subtype /Circle"))
+    assert(s.contains("/ExtGState")) // opacity 0.5 -> gs1 on the line form
+    val circleContent = new String(annots(2).formContent, ISO_8859_1)
+    assert("(?m)^.* c$".r.findAllIn(circleContent).size == 4)
+    assert(circleContent.endsWith("h\nS\nQ\n"))
+    val squareContent = new String(annots(1).formContent, ISO_8859_1)
+    assert(squareContent.contains(" RG\n2 w\n") && squareContent.endsWith("h\nB\nQ\n"))
+    // x42 shape: writer rewrite round-trips; annotations survive and the
+    // reopened file revalidates through loadAnnotations
+    val rew = PdfWriter.rewrite(doc)
+    assert(Extract(rew).text == "annotated page")
+    val rs = new String(rew, ISO_8859_1)
+    assert(rs.contains("/Subtype /Line") && rs.contains("/Subtype /Square") &&
+      rs.contains("/Subtype /Circle"))
+    assert(PdfDocument.open(rew).pages.length == 1)
+  }
+
   test("rewrite flattens object streams and strips encryption") {
     // objstm + xref-stream container comes out as a classic-xref file
     val rew7 = new String(PdfWriter.rewrite(PagesGen.payloadFor(1L, "t", 2)), ISO_8859_1)
