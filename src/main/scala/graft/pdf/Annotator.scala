@@ -4,29 +4,24 @@ import scala.collection.mutable
 
 /** Markup-annotation authoring with APPEARANCE STREAMS — re-creates the
   * reference annotator (annotator/line.go:20-160, rectangle.go, circle.go)
-  * over its draw package (contentstream/draw/shapes.go):
-  *
-  *  - every annotation carries /AP /N -> a Form XObject whose content
-  *    stream draws the shape in LOCAL coordinates (the form /BBox), while
-  *    the annotation /Rect places it globally;
-  *  - LINE: the stroke is a FILLED 4-point polygon perpendicular-offset
-  *    around the segment (shapes.go:194-240 Vs/V1..V4 trigonometry), ops
-  *    q rg [gs] m l l l f Q. Arrow endings (LineEndingStyleArrow) are NOT
-  *    re-created — /LE is always [/None /None] here;
-  *  - RECTANGLE (/Square): closed 5-point path, fill rg / border RG+w,
-  *    h then B / f / S by fill+border flags (shapes.go:117-158);
-  *  - CIRCLE: four cubic Beziers with the 0.551784 magic constant
-  *    (shapes.go:26-100), inset by borderWidth/2 when bordered;
-  *  - opacity < 1 adds an /ExtGState (/ca) named gs1 to the form
-  *    resources and a gs op (line.go:81-95).
+  * over the Draw shapes (graft.pdf.Draw = contentstream/draw/shapes.go):
+  * every annotation carries /AP /N -> a Form XObject whose content stream
+  * draws the shape in LOCAL coordinates (the form /BBox) while the
+  * annotation /Rect places it globally; opacity < 1 adds an /ExtGState
+  * (/ca) named gs1 to the form resources and a gs op (line.go:81-95).
+  * Content bytes come from ContentCreator, i.e. the reference's
+  * DefaultWriteString operand layout.
   */
 object Annotator {
 
-  final case class Rgb(r: Double, g: Double, b: Double)
+  type Rgb = Draw.Rgb
+  val Rgb: Draw.Rgb.type = Draw.Rgb
 
   final case class LineDef(x1: Double, y1: Double, x2: Double, y2: Double,
                            color: Rgb = Rgb(1, 0, 0), width: Double = 1.0,
-                           opacity: Double = 1.0)
+                           opacity: Double = 1.0,
+                           ending1: Draw.LineEndingStyle = Draw.EndingNone,
+                           ending2: Draw.LineEndingStyle = Draw.EndingNone)
 
   final case class RectDef(x: Double, y: Double, width: Double, height: Double,
                            fill: Option[Rgb] = None,
@@ -42,18 +37,6 @@ object Annotator {
                          rect: (Double, Double, Double, Double),
                          opacity: Double)
 
-  private def num(v: Double): String = {
-    val r = math.rint(v * 1000000) / 1000000 // clamp float dust
-    if (r == math.rint(r)) r.toLong.toString
-    else BigDecimal(r).underlying.stripTrailingZeros.toPlainString
-  }
-
-  private final class Ops {
-    val sb = new java.lang.StringBuilder
-    def op(parts: String*): this.type = { sb.append(parts.mkString(" ")).append('\n'); this }
-    def bytes: Array[Byte] = sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-  }
-
   private def colorArr(c: Rgb): PdfArr =
     PdfArr(PdfReal(c.r), PdfReal(c.g), PdfReal(c.b))
 
@@ -61,86 +44,41 @@ object Annotator {
   private def borderStyle(w: Double): PdfDict =
     PdfDict("Type" -> PdfName("Border"), "W" -> PdfReal(w))
 
-  /** CreateLineAnnotation (annotator/line.go:31-76) without arrow endings. */
+  private def gsOf(opacity: Double): String = if (opacity < 1.0) "gs1" else ""
+
+  private def leName(s: Draw.LineEndingStyle): PdfName = s match {
+    case Draw.EndingArrow => PdfName("ClosedArrow") // line.go:40-47
+    case _                => PdfName("None")
+  }
+
+  /** CreateLineAnnotation (annotator/line.go:31-76): drawn locally at the
+    * origin (drawPdfLine passes X1=Y1=0), /Rect = global offset of the
+    * local bbox.
+    */
   def line(d: LineDef): Built = {
-    val dx = d.x2 - d.x1
-    val dy = d.y2 - d.y1
-    val theta = math.atan2(dy, dx)
-    val len = math.sqrt(dx * dx + dy * dy)
-    val w = d.width
-    val pi = math.Pi
-    var mul = 1.0
-    if (dx < 0) mul = -mul
-    if (dy < 0) mul = -mul
-    // shapes.go:216-233 — perpendicular offsets around the (0,0)-anchored
-    // segment (the annotator draws in local coordinates, line.go:115-123)
-    val vsX = mul * (-w / 2 * math.cos(theta + pi / 2))
-    val vsY = mul * (-w / 2 * math.sin(theta + pi / 2) + w * math.sin(theta + pi / 2))
-    val pts = Array(
-      (vsX + w / 2 * math.cos(theta + pi / 2), vsY + w / 2 * math.sin(theta + pi / 2)),
-      (vsX + w / 2 * math.cos(theta + pi / 2) + len * math.cos(theta),
-        vsY + w / 2 * math.sin(theta + pi / 2) + len * math.sin(theta)),
-      (vsX + w / 2 * math.cos(theta + pi / 2) + len * math.cos(theta) + w * math.cos(theta - pi / 2),
-        vsY + w / 2 * math.sin(theta + pi / 2) + len * math.sin(theta) + w * math.sin(theta - pi / 2)),
-      (vsX + w / 2 * math.cos(theta - pi / 2), vsY + w / 2 * math.sin(theta - pi / 2)))
-    val ops = new Ops
-    ops.op("q")
-    ops.op(num(d.color.r), num(d.color.g), num(d.color.b), "rg")
-    if (d.opacity < 1.0) ops.op("/gs1", "gs")
-    for (((x, y), i) <- pts.zipWithIndex)
-      ops.op(num(x), num(y), if (i == 0) "m" else "l")
-    ops.op("f")
-    ops.op("Q")
-    val xs = pts.map(_._1); val ys = pts.map(_._2)
-    val bbox = (xs.min, ys.min, xs.max, ys.max)
-    val rect = (d.x1 + bbox._1, d.y1 + bbox._2, d.x1 + bbox._3, d.y1 + bbox._4)
+    val (content, local) = Draw.Line(0, 0, d.x2 - d.x1, d.y2 - d.y1, d.color,
+      d.width, d.opacity, d.ending1, d.ending2).draw(gsOf(d.opacity))
+    val bbox = (local.llx, local.lly, local.urx, local.ury)
+    val rect = (d.x1 + local.llx, d.y1 + local.lly, d.x1 + local.urx, d.y1 + local.ury)
     val dict = PdfDict(
       "Type" -> PdfName("Annot"),
       "Subtype" -> PdfName("Line"),
       "L" -> PdfArr(PdfReal(d.x1), PdfReal(d.y1), PdfReal(d.x2), PdfReal(d.y2)),
-      "LE" -> PdfArr(PdfName("None"), PdfName("None")),
+      "LE" -> PdfArr(leName(d.ending1), leName(d.ending2)),
       "C" -> colorArr(d.color),
       "IC" -> colorArr(d.color),
       "BS" -> borderStyle(d.width),
       "Rect" -> PdfArr(PdfReal(rect._1), PdfReal(rect._2), PdfReal(rect._3), PdfReal(rect._4)))
     if (d.opacity < 1.0) dict.set("CA", PdfReal(d.opacity))
-    Built(dict, ops.bytes, bbox, rect, d.opacity)
-  }
-
-  private def shapeTail(ops: Ops, fill: Option[Rgb], border: Option[(Rgb, Double)]): Unit = {
-    ops.op("h")
-    (fill, border) match {
-      case (Some(_), Some(_)) => ops.op("B")
-      case (Some(_), None)    => ops.op("f")
-      case (None, Some(_))    => ops.op("S")
-      case (None, None)       => ()
-    }
-    ops.op("Q")
-  }
-
-  private def shapeHead(ops: Ops, fill: Option[Rgb], border: Option[(Rgb, Double)],
-                        opacity: Double): Unit = {
-    ops.op("q")
-    fill.foreach(c => ops.op(num(c.r), num(c.g), num(c.b), "rg"))
-    border.foreach { case (c, bw) =>
-      ops.op(num(c.r), num(c.g), num(c.b), "RG")
-      ops.op(num(bw), "w")
-    }
-    if (opacity < 1.0) ops.op("/gs1", "gs")
+    Built(dict, content, bbox, rect, d.opacity)
   }
 
   /** CreateRectangleAnnotation (annotator/rectangle.go) — /Square. */
   def rectangle(d: RectDef): Built = {
-    val ops = new Ops
-    shapeHead(ops, d.fill, d.border, d.opacity)
-    // local closed path (shapes.go:118-128), drawn at the origin
-    val pts = Seq((0.0, 0.0), (0.0, d.height), (d.width, d.height), (d.width, 0.0), (0.0, 0.0))
-    for (((x, y), i) <- pts.zipWithIndex)
-      ops.op(num(x), num(y), if (i == 0) "m" else "l")
-    shapeTail(ops, d.fill, d.border)
-    val bw = d.border.map(_._2).getOrElse(0.0)
-    val bbox = (-bw / 2, -bw / 2, d.width + bw / 2, d.height + bw / 2)
-    val rect = (d.x + bbox._1, d.y + bbox._2, d.x + bbox._3, d.y + bbox._4)
+    val (content, local) = Draw.Rectangle(0, 0, d.width, d.height, d.fill,
+      d.border, d.opacity).draw(gsOf(d.opacity))
+    val bbox = (local.llx, local.lly, local.urx, local.ury)
+    val rect = (d.x + local.llx, d.y + local.lly, d.x + local.urx, d.y + local.ury)
     val dict = PdfDict(
       "Type" -> PdfName("Annot"),
       "Subtype" -> PdfName("Square"),
@@ -154,41 +92,15 @@ object Annotator {
       case None    => dict.set("IC", PdfArr()) // "No fill" marker (rectangle.go)
     }
     if (d.opacity < 1.0) dict.set("CA", PdfReal(d.opacity))
-    Built(dict, ops.bytes, bbox, rect, d.opacity)
+    Built(dict, content, bbox, rect, d.opacity)
   }
 
-  /** CreateCircleAnnotation (annotator/circle.go) — /Circle, four cubic
-    * Beziers with the 0.551784 magic constant (shapes.go:26-100).
-    */
+  /** CreateCircleAnnotation (annotator/circle.go) — /Circle. */
   def circle(d: RectDef): Built = {
-    val bw = d.border.map(_._2).getOrElse(0.0)
-    var xRad = d.width / 2
-    var yRad = d.height / 2
-    if (d.border.isDefined) { xRad -= bw / 2; yRad -= bw / 2 }
-    val magic = 0.551784
-    val xm = xRad * magic
-    val ym = yRad * magic
-    // curves around (0,0), then offset to the first quadrant (+border inset)
-    val off = (xRad + (if (d.border.isDefined) bw / 2 else 0.0),
-      yRad + (if (d.border.isDefined) bw / 2 else 0.0))
-    def p(x: Double, y: Double) = (x + off._1, y + off._2)
-    val curves = Seq(
-      (p(-xRad, 0), p(-xRad, ym), p(-xm, yRad), p(0, yRad)),
-      (p(0, yRad), p(xm, yRad), p(xRad, ym), p(xRad, 0)),
-      (p(xRad, 0), p(xRad, -ym), p(xm, -yRad), p(0, -yRad)),
-      (p(0, -yRad), p(-xm, -yRad), p(-xRad, -ym), p(-xRad, 0)))
-    val ops = new Ops
-    shapeHead(ops, d.fill, d.border, d.opacity)
-    for (((p0, p1, p2, p3), i) <- curves.zipWithIndex) {
-      if (i == 0) ops.op(num(p0._1), num(p0._2), "m")
-      ops.op(num(p1._1), num(p1._2), num(p2._1), num(p2._2), num(p3._1), num(p3._2), "c")
-    }
-    shapeTail(ops, d.fill, d.border)
-    // control points stay inside the circumscribed square (magic < 1), so
-    // the path bbox is the square; stroke widens it by borderWidth
-    // (shapes.go:80-96)
-    val bbox = (-bw / 2, -bw / 2, d.width + bw / 2, d.height + bw / 2)
-    val rect = (d.x + bbox._1, d.y + bbox._2, d.x + bbox._3, d.y + bbox._4)
+    val (content, local) = Draw.Circle(0, 0, d.width, d.height, d.fill,
+      d.border, d.opacity).draw(gsOf(d.opacity))
+    val bbox = (local.llx, local.lly, local.urx, local.ury)
+    val rect = (d.x + local.llx, d.y + local.lly, d.x + local.urx, d.y + local.ury)
     val dict = PdfDict(
       "Type" -> PdfName("Annot"),
       "Subtype" -> PdfName("Circle"),
@@ -199,7 +111,7 @@ object Annotator {
     }
     d.fill.foreach(c => dict.set("IC", colorArr(c)))
     if (d.opacity < 1.0) dict.set("CA", PdfReal(d.opacity))
-    Built(dict, ops.bytes, bbox, rect, d.opacity)
+    Built(dict, content, bbox, rect, d.opacity)
   }
 
   /** Author a one-page document: text content + the given annotations,
@@ -209,9 +121,9 @@ object Annotator {
     * and the file round-trips PdfWriter.rewrite.
     */
   def authorAnnotated(text: String, annots: Seq[Built]): Array[Byte] = {
-    val content = ("BT /F1 12 Tf (" + text.replace("\\", "\\\\")
-      .replace("(", "\\(").replace(")", "\\)") + ") Tj ET")
-      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val content = new ContentCreator()
+      .add_BT().add_Tf("F1", 12)
+      .add_Tj(text).add_ET().bytes
     val objs = mutable.ArrayBuffer.empty[(Long, PdfObj)]
     val annotRefs = mutable.ArrayBuffer.empty[PdfObj]
     var next = 5L

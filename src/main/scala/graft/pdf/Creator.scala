@@ -103,42 +103,22 @@ object Creator {
     lines.toSeq
   }
 
-  private def escape(s: String): String = {
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '(' => sb.append("\\(")
-        case ')' => sb.append("\\)")
-        case '\\' => sb.append("\\\\")
-        case '\r' => sb.append("\\r")
-        case c => sb.append(c)
-      }
-      i += 1
-    }
-    sb.toString
-  }
-
-  private def num(v: Double): String =
-    if (v == math.floor(v) && !v.isInfinite) v.toLong.toString
-    else v.toString
-
-  /** Content stream for a wrapped paragraph: the initial Tm positions the
-    * cursor WITHOUT emitting glue (y ascends from the origin, x is
-    * unchanged — Extractor.Tm emits only on y-descent / x-ascent), each
-    * following line moves 0 -leading Td (ty<0 -> "\n" under the golden
-    * extractor). Extraction therefore returns the wrapped lines joined by
-    * newlines, byte-identically.
+  /** Content stream for a wrapped paragraph (built via ContentCreator —
+    * the reference operand layout): the initial Tm positions the cursor
+    * WITHOUT emitting glue (y ascends from the origin, x is unchanged —
+    * Extractor.Tm emits only on y-descent / x-ascent), each following line
+    * moves 0 -leading Td (ty<0 -> "\n" under the golden extractor).
+    * Extraction therefore returns the wrapped lines joined by newlines,
+    * byte-identically.
     */
   def paragraphContent(lines: Seq[String], style: ParagraphStyle): Array[Byte] = {
-    val sb = new java.lang.StringBuilder
-    sb.append(s"BT /F1 ${num(style.fontSize)} Tf 1 0 0 1 0 792 Tm ")
+    val cc = new ContentCreator()
+    cc.add_BT().add_Tf("F1", style.fontSize).add_Tm(1, 0, 0, 1, 0, 792)
     for ((ln, i) <- lines.zipWithIndex) {
-      if (i > 0) sb.append(s"0 -${num(style.leading)} Td ")
-      sb.append('(').append(escape(ln)).append(") Tj ")
+      if (i > 0) cc.add_Td(0, -style.leading)
+      cc.add_Tj(ln)
     }
-    sb.append("ET")
-    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    cc.add_ET().bytes
   }
 
   /** Author a document with one wrapped paragraph per page (the

@@ -168,7 +168,9 @@ class WriterSpec extends AnyFunSuite {
     // (shapes.go:216-233 quirk, not centered)
     val b = line(LineDef(0, 0, 10, 0, Rgb(1, 0, 0), width = 2))
     val content = new String(b.formContent, ISO_8859_1)
-    assert(content == "q\n1 0 0 rg\n0 2 m\n10 2 l\n10 0 l\n0 0 l\nf\nQ\n")
+    assert(content == "q\n1.000000 0.000000 0.000000 rg\n" +
+      "0.000000 2.000000 m\n10.000000 2.000000 l\n" +
+      "10.000000 0.000000 l\n0.000000 0.000000 l\nf\nQ\n")
     assert(b.bbox == (0.0, 0.0, 10.0, 2.0))
     assert(b.rect == (0.0, 0.0, 10.0, 2.0))
   }
@@ -198,7 +200,8 @@ class WriterSpec extends AnyFunSuite {
     assert("(?m)^.* c$".r.findAllIn(circleContent).size == 4)
     assert(circleContent.endsWith("h\nS\nQ\n"))
     val squareContent = new String(annots(1).formContent, ISO_8859_1)
-    assert(squareContent.contains(" RG\n2 w\n") && squareContent.endsWith("h\nB\nQ\n"))
+    assert(squareContent.contains(" RG\n2.000000 w\n") &&
+      squareContent.endsWith("h\nB\nQ\n"))
     // x42 shape: writer rewrite round-trips; annotations survive and the
     // reopened file revalidates through loadAnnotations
     val rew = PdfWriter.rewrite(doc)
