@@ -638,6 +638,20 @@ object SparkEntry {
           (id, Extract(doc).text)
         }.toDF("doc_id", "extracted").orderBy("doc_id")
     }),
+    "x45_stream_stream_join" -> ((s, dir) => {
+      // STREAM-STREAM inner join through the gate: impressions
+      // (event_id%10==5) joined to same-user clicks (event_id%10==0)
+      // within [imp_ts, imp_ts + 48 h], both sides watermarked, under
+      // Trigger.AvailableNow. Inner-join output is not watermark-gated, so
+      // the streamed result is exactly the batch join — the oracle states
+      // the identical predicate in SQL.
+      val tmp = scratchDir("graft-x45")
+      graft.streaming.StreamingOps.streamStreamJoin(s, stagedEventsDir(s, dir),
+        s"$tmp/ck", s"$tmp/out")
+      s.read.parquet(s"$tmp/out")
+        .select(col("imp_id"), col("user_id"), col("click_id"))
+        .orderBy("imp_id", "click_id")
+    }),
     "x41_stream_enrich" -> ((s, dir) => {
       // Stream-static enrichment through the streaming gate: events stream
       // inner-joined to the STATIC customer dimension (broadcast) on
@@ -1028,6 +1042,12 @@ object SparkEntry {
         "FROM l JOIN m ON l.doc_id = m.doc_id GROUP BY 1) " +
         "SELECT doc_id, t || chr(10) || 'end ' || CAST(doc_id AS VARCHAR) AS extracted " +
         "FROM p1 ORDER BY doc_id"),
+    "x45_stream_stream_join" ->
+      ("SELECT i.event_id AS imp_id, i.user_id, c.event_id AS click_id " +
+        "FROM events i JOIN events c ON i.user_id = c.user_id " +
+        "AND i.event_id % 10 = 5 AND c.event_id % 10 = 0 " +
+        "AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 48 HOUR " +
+        "ORDER BY imp_id, click_id"),
     "x41_stream_enrich" ->
       ("SELECT e.event_id, e.user_id, c.c_nationkey, e.event_type " +
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +

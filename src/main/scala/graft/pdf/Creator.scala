@@ -44,13 +44,45 @@ object Creator {
     'u' -> 556, 'v' -> 500, 'w' -> 722, 'x' -> 500, 'y' -> 500,
     'z' -> 500, '{' -> 334, '|' -> 260, '}' -> 334, '~' -> 584)
 
+  /** WinAnsi (cp1252) rune coverage beyond ASCII: the Latin-1 supplement +
+    * the 0x80-0x9F typographic runes, mapped through their Adobe glyph
+    * names to the same helvetica.go AFM widths (the rune -> glyph mapping
+    * of textencoding/winansi.go). NBSP takes the space width.
+    */
+  val HelveticaWinAnsiWidths: Map[Char, Int] = Map(
+    '\u00a0' -> 278, '¡' -> 333, '¢' -> 556, '£' -> 556, '¤' -> 556,
+    '¥' -> 556, '¦' -> 260, '§' -> 556, '¨' -> 333, '©' -> 737,
+    'ª' -> 370, '«' -> 556, '¬' -> 584, '\u00ad' -> 333, '®' -> 737,
+    '¯' -> 333, '°' -> 400, '±' -> 584, '²' -> 333, '³' -> 333,
+    '´' -> 333, 'µ' -> 556, '¶' -> 537, '·' -> 278, '¸' -> 333,
+    '¹' -> 333, 'º' -> 365, '»' -> 556, '¼' -> 834, '½' -> 834,
+    '¾' -> 834, '¿' -> 611, 'À' -> 667, 'Á' -> 667, 'Â' -> 667,
+    'Ã' -> 667, 'Ä' -> 667, 'Å' -> 667, 'Æ' -> 1000, 'Ç' -> 722,
+    'È' -> 667, 'É' -> 667, 'Ê' -> 667, 'Ë' -> 667, 'Ì' -> 278,
+    'Í' -> 278, 'Î' -> 278, 'Ï' -> 278, 'Ð' -> 722, 'Ñ' -> 722,
+    'Ò' -> 778, 'Ó' -> 778, 'Ô' -> 778, 'Õ' -> 778, 'Ö' -> 778,
+    '×' -> 584, 'Ø' -> 778, 'Ù' -> 722, 'Ú' -> 722, 'Û' -> 722,
+    'Ü' -> 722, 'Ý' -> 667, 'Þ' -> 667, 'ß' -> 611, 'à' -> 556,
+    'á' -> 556, 'â' -> 556, 'ã' -> 556, 'ä' -> 556, 'å' -> 556,
+    'æ' -> 889, 'ç' -> 500, 'è' -> 556, 'é' -> 556, 'ê' -> 556,
+    'ë' -> 556, 'ì' -> 278, 'í' -> 278, 'î' -> 278, 'ï' -> 278,
+    'ð' -> 556, 'ñ' -> 556, 'ò' -> 556, 'ó' -> 556, 'ô' -> 556,
+    'õ' -> 556, 'ö' -> 556, '÷' -> 584, 'ø' -> 611, 'ù' -> 556,
+    'ú' -> 556, 'û' -> 556, 'ü' -> 556, 'ý' -> 500, 'þ' -> 556,
+    'ÿ' -> 500, 'Œ' -> 1000, 'œ' -> 944, 'Š' -> 667, 'š' -> 500,
+    'Ÿ' -> 667, 'Ž' -> 611, 'ž' -> 500, 'ƒ' -> 556, 'ˆ' -> 333,
+    '˜' -> 333, '–' -> 556, '—' -> 1000, '‘' -> 222, '’' -> 222,
+    '‚' -> 222, '“' -> 333, '”' -> 333, '„' -> 333, '†' -> 556,
+    '‡' -> 556, '•' -> 350, '…' -> 1000, '‰' -> 1000, '‹' -> 333,
+    '›' -> 333, '€' -> 556, '™' -> 1000)
+
   /** Glyph width for (font, char); Courier is monospaced at 600
     * (model/fonts/courier.go: every CharMetrics Wx is 600).
     */
   def widthOf(font: String, c: Char): Option[Int] =
     if (font.startsWith("Courier")) {
       if (c >= ' ' && c <= '~') Some(600) else None
-    } else HelveticaWidths.get(c)
+    } else HelveticaWidths.get(c).orElse(HelveticaWinAnsiWidths.get(c))
 
   final case class ParagraphStyle(font: String = "Helvetica",
                                   fontSize: Double = 10.0,

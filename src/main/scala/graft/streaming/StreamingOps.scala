@@ -112,6 +112,45 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** STREAM-STREAM inner join with an event-time range: "impressions"
+    * (event_id % 10 == 5) joined to "clicks" (event_id % 10 == 0) of the
+    * same user with the click inside [imp_ts, imp_ts + 48 h] — the
+    * attribution-join shape. Both sides carry watermarks (they bound the
+    * join STATE retention: buffered rows older than watermark + range are
+    * dropped — the 100-TB knob that keeps state finite on an unbounded
+    * stream); inner-join OUTPUT is not watermark-gated, and the file
+    * source under AvailableNow delivers everything, so the result equals
+    * the batch join with the same predicate — which is exactly what the
+    * x45 oracle states in SQL. (The gate's 3650-day watermark makes the
+    * equality exact even if the source splits batches; production uses a
+    * retention-sized delay.)
+    */
+  def streamStreamJoin(spark: SparkSession, inputDir: String, checkpointDir: String,
+                       outDir: String, watermark: String = "3650 days",
+                       rangeMinutes: Int = 2880): Unit = {
+    val imps = spark.readStream.schema(eventSchema).parquet(inputDir)
+      .filter(col("event_id") % 10 === 5)
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val clicks = spark.readStream.schema(eventSchema).parquet(inputDir)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val joined = imps.join(clicks,
+      expr(s"user_id = click_user AND click_ts >= imp_ts AND " +
+        s"click_ts <= imp_ts + interval $rangeMinutes minutes"))
+      .select(col("imp_id"), col("user_id"), col("click_id"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+  }
+
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long,
                               duration_ms: Long)

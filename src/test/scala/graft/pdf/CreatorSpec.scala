@@ -31,7 +31,21 @@ class CreatorSpec extends AnyFunSuite {
   test("controlLF forces breaks; missing glyph errors") {
     val st = ParagraphStyle()
     assert(Creator.wrapText("ab\ncd\n\nef", st) == Seq("ab", "cd", "", "ef"))
-    intercept[PdfError] { Creator.wrapText("café", st) }
+    // WinAnsi runes have metrics now; runes OUTSIDE WinAnsi still error
+    // (reference "Glyph not found for rune")
+    intercept[PdfError] { Creator.wrapText("日本", st) } // CJK
+  }
+
+  test("WinAnsi runes wrap with real AFM widths and author round-trip") {
+    // 'é'=556 (eacute), '€'=556 (Euro), 'œ'=944: fontSize 1, limit 3000:
+    // c(500)+a(556)+f(278)+é(556)=1890, sp(278)=2168, c(500)=2668,
+    // r(333)=3001 > 3000 -> back to space idx 4 -> "café " kept with its
+    // trailing space; "crème" continues on line 2.
+    val st = ParagraphStyle(fontSize = 1.0, wrapWidth = 3.0)
+    assert(Creator.wrapText("café crème", st) == Seq("café ", "crème"))
+    // authored Latin-1 text extracts byte-identically (UTF-8 Tj bytes)
+    val doc = Creator.authorParagraphs(Seq("café €9 — naïve œuvre"))
+    assert(graft.Extract(doc).text == "café €9 — naïve œuvre")
   }
 
   test("Courier is monospaced at 600: wrap count is char arithmetic") {

@@ -62,6 +62,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(_._2 > 4L)) // unmatched users dropped
   }
 
+  test("stream-stream time-range join equals the batch join exactly") {
+    val in = Files.createTempDirectory("ssj-in").toString
+    val cp = Files.createTempDirectory("ssj-cp").toString
+    val out = Files.createTempDirectory("ssj-out").toString
+    writeEvents(in)
+    StreamingOps.streamStreamJoin(spark, in, cp, out)
+    val streamed = spark.read.parquet(out)
+      .select("imp_id", "user_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = spark.read.parquet(in)
+    val batch = ev.filter(col("event_id") % 10 === 5)
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+      .join(ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts").as("click_ts")),
+        expr("user_id = cu AND click_ts >= imp_ts AND " +
+          "click_ts <= imp_ts + interval 2880 minutes"))
+      .select("imp_id", "user_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization emits gap-separated sessions") {
     import spark.implicits._
     val in = Files.createTempDirectory("sess-in").toString
