@@ -380,6 +380,37 @@ object PdfFixtures {
     bld.build()
   }
 
+  /** sShading: page carrying the full shading/pattern model surface —
+    * an axial (Type-2) shading with an exponential tint function behind a
+    * `sh` op, a SHADING pattern (/PatternType 2 -> the same shading) and a
+    * TILING pattern stream (/PatternType 1, cell draws a rect), both
+    * installed via `/Pattern cs /PatX scn`. The extractor drops sh/scn
+    * (pattern names are exempt from the component-count check), so the
+    * text must still extract byte-identically; PdfShadingModel validates
+    * the dicts in ShadingSpec.
+    */
+  def sShading(text: String): Array[Byte] = {
+    val esc = new String(escapeStringText(text), ISO_8859_1)
+    val res = "<< /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> " +
+      "/Shading << /Sh0 5 0 R >> " +
+      "/Pattern << /Pat0 7 0 R /Pat1 8 0 R >> >>"
+    val c = b(s"/Pattern cs /Pat0 scn /Pattern cs /Pat1 scn " +
+      s"BT /F1 12 Tf ($esc) Tj ET /Sh0 sh")
+    val cell = b("0 0 5 5 re f")
+    val bld = new Builder()
+    bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    bld.obj(3, s"<< /Type /Page /Parent 2 0 R /Resources $res /Contents 4 0 R >>")
+    bld.stream(4, s"<< /Length ${c.length} >>", c)
+    bld.obj(5, "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 612 792] " +
+      "/Function 6 0 R /Extend [true false] >>")
+    bld.obj(6, "<< /FunctionType 2 /Domain [0 1] /C0 [1 0 0] /C1 [0 0 1] /N 1 >>")
+    bld.obj(7, "<< /Type /Pattern /PatternType 2 /Shading 5 0 R /Matrix [1 0 0 1 0 0] >>")
+    bld.streamAuto(8, "<< /Type /Pattern /PatternType 1 /PaintType 1 /TilingType 1 " +
+      "/BBox [0 0 10 10] /XStep 10 /YStep 10 /Resources << >>", cell)
+    bld.build()
+  }
+
   /** s16: unknown colorspace AFTER partial text -> partial text + error. */
   def s16(): Array[Byte] = {
     val c = b("BT /F1 12 Tf (partial) Tj ET /NoSuchCS CS BT (never) Tj ET")

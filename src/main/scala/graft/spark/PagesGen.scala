@@ -24,7 +24,7 @@ object PagesGen {
     * oracle checks, so ALL the families below (incl. crypt, CMap, repairs,
     * LZW/RLE, inline images) carry hard end-to-end evidence.
     */
-  val PdfVariants = 23
+  val PdfVariants = 24
 
   /** Deterministic payload for one document. */
   def payloadFor(docId: Long, text: String, variant: Int): Array[Byte] = variant match {
@@ -51,6 +51,7 @@ object PagesGen {
     case 20 => PdfFixtures.sTiffPred(text)              // Flate + TIFF Predictor 2
     case 21 => PdfFixtures.sShuffledXref(text)          // wrong offsets -> xref rebuild
     case 22 => PdfFixtures.sImages(text, docId)         // 3 XObject + 1 inline image page
+    case 23 => PdfFixtures.sShading(text)               // axial shading + tiling/shading patterns
     case _  => PdfFixtures.htmlSimple(text)             // HTML branch
   }
 
