@@ -76,13 +76,44 @@ object Creator {
     '‡' -> 556, '•' -> 350, '…' -> 1000, '‰' -> 1000, '‹' -> 333,
     '›' -> 333, '€' -> 556, '™' -> 1000)
 
-  /** Glyph width for (font, char); Courier is monospaced at 600
-    * (model/fonts/courier.go: every CharMetrics Wx is 600).
+  /** Compact ASCII width table: chars 32..126 in codepoint order. */
+  private def asciiTable(widths: String): Map[Char, Int] =
+    widths.split(",").zipWithIndex
+      .map { case (w, i) => (i + 32).toChar -> w.toInt }.toMap
+
+  /** The remaining non-symbolic standard-14 AFM tables (printable ASCII;
+    * oblique/italic faces share their upright metrics only for Helvetica/
+    * Courier — Times-Italic has its OWN table). Sources:
+    * model/fonts/helvetica_bold.go, times_roman.go, times_bold.go,
+    * times_italic.go, times_bold_italic.go.
     */
-  def widthOf(font: String, c: Char): Option[Int] =
-    if (font.startsWith("Courier")) {
+  val HelveticaBoldWidths: Map[Char, Int] = asciiTable(
+    "278,333,474,556,556,889,722,238,333,333,389,584,278,333,278,278,556,556,556,556,556,556,556,556,556,556,333,333,584,584,584,611,975,722,722,722,722,667,611,778,722,278,556,722,611,833,722,778,667,778,722,667,611,722,667,944,667,667,611,333,278,333,584,556,333,556,611,556,611,556,333,611,611,278,278,556,278,889,611,611,611,611,389,556,333,611,556,778,556,556,500,389,280,389,584")
+  val TimesRomanWidths: Map[Char, Int] = asciiTable(
+    "250,333,408,500,500,833,778,180,333,333,500,564,250,333,250,278,500,500,500,500,500,500,500,500,500,500,278,278,564,564,564,444,921,722,667,667,722,611,556,722,722,333,389,722,611,889,722,722,556,722,667,556,611,722,722,944,722,722,611,333,278,333,469,500,333,444,500,444,500,444,333,500,500,278,278,500,278,778,500,500,500,500,333,389,278,500,500,722,500,500,444,480,200,480,541")
+  val TimesBoldWidths: Map[Char, Int] = asciiTable(
+    "250,333,555,500,500,1000,833,278,333,333,500,570,250,333,250,278,500,500,500,500,500,500,500,500,500,500,333,333,570,570,570,500,930,722,667,722,722,667,611,778,778,389,500,778,667,944,722,778,611,778,722,556,667,722,722,1000,722,722,667,333,278,333,581,500,333,500,556,444,556,444,333,500,556,278,333,556,278,833,556,500,556,556,444,389,333,556,500,722,500,500,444,394,220,394,520")
+  val TimesItalicWidths: Map[Char, Int] = asciiTable(
+    "250,333,420,500,500,833,778,214,333,333,500,675,250,333,250,278,500,500,500,500,500,500,500,500,500,500,333,333,675,675,675,500,920,611,611,667,722,611,611,722,722,333,444,667,556,833,667,722,611,722,611,500,556,722,611,833,611,556,556,389,278,389,422,500,333,500,500,444,500,444,278,500,500,278,278,444,278,722,500,500,500,500,389,389,278,500,444,667,444,444,389,400,275,400,541")
+  val TimesBoldItalicWidths: Map[Char, Int] = asciiTable(
+    "250,389,555,500,500,833,778,278,333,333,500,570,250,333,250,278,500,500,500,500,500,500,500,500,500,500,333,333,570,570,570,500,832,667,667,667,722,667,667,722,778,389,500,667,611,889,722,722,611,722,667,556,611,722,667,889,667,611,611,333,278,333,570,500,333,500,500,444,500,444,333,500,556,278,278,500,278,778,556,500,500,500,389,389,278,556,444,667,500,444,389,348,220,348,570")
+
+  /** Glyph width for (font, char) across the non-symbolic standard 14:
+    * Courier faces are monospaced at 600 (courier*.go), Helvetica-Oblique
+    * shares Helvetica metrics (helvetica_oblique.go repeats the table),
+    * the Times family has four distinct tables. WinAnsi extension only
+    * for plain Helvetica so far.
+    */
+  def widthOf(font: String, c: Char): Option[Int] = font match {
+    case f if f.startsWith("Courier") =>
       if (c >= ' ' && c <= '~') Some(600) else None
-    } else HelveticaWidths.get(c).orElse(HelveticaWinAnsiWidths.get(c))
+    case "Helvetica-Bold" | "Helvetica-BoldOblique" => HelveticaBoldWidths.get(c)
+    case "Times-Roman"      => TimesRomanWidths.get(c)
+    case "Times-Bold"       => TimesBoldWidths.get(c)
+    case "Times-Italic"     => TimesItalicWidths.get(c)
+    case "Times-BoldItalic" => TimesBoldItalicWidths.get(c)
+    case _ => HelveticaWidths.get(c).orElse(HelveticaWinAnsiWidths.get(c))
+  }
 
   final case class ParagraphStyle(font: String = "Helvetica",
                                   fontSize: Double = 10.0,

@@ -48,6 +48,25 @@ class CreatorSpec extends AnyFunSuite {
     assert(graft.Extract(doc).text == "café €9 — naïve œuvre")
   }
 
+  test("standard-14 families: distinct AFM tables per face") {
+    // spot-check values straight from the AFM data: Times-Roman 'W'=944
+    // but Times-Bold 'W'=1000; Helvetica-Bold 'i'=278 vs Helvetica 222;
+    // Times-Italic 'v'=444; obliques share their upright table for
+    // Helvetica, Times-Italic does NOT.
+    assert(Creator.widthOf("Times-Roman", 'W').contains(944))
+    assert(Creator.widthOf("Times-Bold", 'W').contains(1000))
+    assert(Creator.widthOf("Times-Italic", 'v').contains(444))
+    assert(Creator.widthOf("Times-BoldItalic", 'A').contains(667))
+    assert(Creator.widthOf("Helvetica-Bold", 'i').contains(278))
+    assert(Creator.widthOf("Helvetica-BoldOblique", 'i').contains(278))
+    assert(Creator.widthOf("Helvetica", 'i').contains(222))
+    assert(Creator.widthOf("Courier-BoldOblique", 'W').contains(600))
+    // a Times paragraph wraps with Times metrics and still round-trips
+    val doc = Creator.authorParagraphs(Seq("Times wrapped paragraph test"),
+      ParagraphStyle(font = "Times-Roman"))
+    assert(graft.Extract(doc).text == "Times wrapped paragraph test")
+  }
+
   test("Courier is monospaced at 600: wrap count is char arithmetic") {
     // 600*fontSize(1) per char; limit 3000 -> 5 chars fit. "aaaa bb cc":
     // a,a,a,a(2400) sp(3000 fits exactly — not >) then b at 3600 -> back to
