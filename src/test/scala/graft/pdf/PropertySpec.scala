@@ -89,7 +89,7 @@ class PropertySpec extends AnyFunSuite {
     // encrypted objstm), CMap, LZW and Separation+PostScript parsing paths
     // under point mutations and truncations. Fixed seed => deterministic.
     val rnd = new java.util.Random(0xfadedL)
-    val variants = Seq(4, 5, 6, 8, 11, 12, 13, 15, 16, 17, 18, 19, 20, 21)
+    val variants = Seq(4, 5, 6, 8, 11, 12, 13, 15, 16, 17, 18, 19, 20, 21, 22, 23)
     for (v <- variants) {
       val base = graft.spark.PagesGen.payloadFor(4242L, "fuzz target text body", v)
       for (_ <- 0 until 120) {
@@ -104,6 +104,38 @@ class PropertySpec extends AnyFunSuite {
           Extract.DefaultMaxBytesPerDoc, timeoutMs = 10000)
         assert(Set("ok", "error", "empty", "timeout").contains(r.status), s"variant $v trunc")
       }
+    }
+  }
+
+  test("property: image enumeration never throws under corruption") {
+    // PdfImages.imagesOf absorbs per-image failures into nErrors; point
+    // mutations and truncations of the image-bearing container must never
+    // escape as exceptions.
+    val rnd = new java.util.Random(0x1a6e5L)
+    val base = PdfFixtures.sImages("fuzz image page", 77L)
+    for (_ <- 0 until 150) {
+      val m = base.clone()
+      (0 to rnd.nextInt(6)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      val scan = PdfImages.imagesOf(m) // must not throw
+      assert(scan.nErrors >= 0)
+    }
+    for (_ <- 0 until 40)
+      PdfImages.imagesOf(java.util.Arrays.copyOf(base, rnd.nextInt(base.length + 1)))
+  }
+
+  test("property: TTF parse fails only as PdfError under corruption") {
+    val rnd = new java.util.Random(0x77fL)
+    val base = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/testfiles/roboto/Roboto-Regular.ttf"))
+    for (_ <- 0 until 60) {
+      val m = base.clone()
+      (0 to rnd.nextInt(8)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      try { TtfParser.parse(m); () }
+      catch { case _: PdfError => () } // only the typed error may escape
+    }
+    for (_ <- 0 until 20) {
+      try { TtfParser.parse(java.util.Arrays.copyOf(base, rnd.nextInt(base.length + 1))); () }
+      catch { case _: PdfError => () }
     }
   }
 
