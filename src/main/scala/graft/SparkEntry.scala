@@ -98,14 +98,15 @@ object SparkEntry {
     // ----------------------------------------------------- extraction (E2E)
     "x10_extract_pdf" -> ((s, dir) => {
       import s.implicits._
-      // PDF payload variants rotate through ALL PagesGen.PdfVariants (23)
+      // PDF payload variants rotate through ALL PagesGen.PdfVariants (24)
       // container families (classic xref / flate / objstm+xref-stream /
       // multi-filter / ToUnicode CMap / RC4 crypt / AESV2 crypt / startxref
       // repair / LZW / RLE / inline image / Separation+Type-4 tint / AESV3
       // R6 crypt / encrypted objstm / annotated page / hybrid /XRefStm /
       // Lab+CalRGB+Indexed / Type-0+Type-2 tints / incremental update with
       // a /Prev chain / ASCIIHex / Flate+TIFF-Predictor-2 / shuffled-xref
-      // rebuild / image-bearing page with 3 XObject + 1 inline images);
+      // rebuild / image-bearing page with 3 XObject + 1 inline images /
+      // shading page with axial sh + tiling+shading patterns);
       // extraction must return the exact original text. The
       // authoritative per-variant list is PagesGen.payloadFor.
       PagesGen.pagesPdf(s, dir).map { row =>
@@ -593,7 +594,7 @@ object SparkEntry {
 
     "x42_writer_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      // The WRITER through the gate: every x10 rotation payload (all 23
+      // The WRITER through the gate: every x10 rotation payload (all 24
       // container families incl. crypt/objstm/repairs) is loaded, its
       // reachable object graph re-serialized by PdfWriter.rewrite (objstms
       // flattened, repairs normalized), and the REWRITTEN file re-extracted

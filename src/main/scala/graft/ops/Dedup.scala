@@ -331,15 +331,18 @@ object Dedup {
     * plausible near-dup chain — a >100-hop chain of successive edits would
     * need 100+ documents each within Jaccard 0.7 of the next).
     */
-  /** Edge-count threshold for the driver union-find fast path: 4M symmetric
-    * edges ~ 64 MB collected — trivial driver memory, and union-find closes
-    * the components in milliseconds where the distributed loop pays
-    * several full job round-trips PER ITERATION. Near-dup graphs are tiny
-    * relative to their corpus (edges exist only between verified near-dups),
-    * so even multi-TB corpora usually land under this; a corpus whose dup
-    * graph is genuinely huge takes the iterative path unchanged.
+  /** Edge-count threshold for the driver union-find fast path. Sized for
+    * REAL JVM overhead, not raw bytes: 2M symmetric edges = 1M collected
+    * (Long, Long) tuples (~64 B each boxed) + the union-find HashMap —
+    * roughly 150-200 MB transient, safe even on a modest driver heap,
+    * where union-find closes the components in milliseconds and the
+    * distributed loop pays several full job round-trips PER ITERATION.
+    * Near-dup graphs are tiny relative to their corpus (edges exist only
+    * between verified near-dups), so even multi-TB corpora usually land
+    * under this; a genuinely huge dup graph takes the iterative path
+    * unchanged.
     */
-  val DefaultMaxDriverEdges = 4000000L
+  val DefaultMaxDriverEdges = 2000000L
 
   /** Driver union-find (path halving + min-id union — amortized near-linear)
     * over a SMALL symmetric edge list; labels = min vertex id per component,
@@ -388,18 +391,36 @@ object Dedup {
       (out, rdds)
     }
     def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
-      rdds.foreach(_.unpersist(blocking = false))
+      rdds.foreach { r =>
+        r.unpersist(blocking = false)
+        // Under reliable checkpointing a retired round also left FILES on
+        // the checkpoint FS (Spark only deletes them via the GC-driven
+        // cleaner, which defaults OFF) — a multi-hour run would otherwise
+        // accumulate maxIter label-table snapshots on durable storage.
+        r.getCheckpointFile.foreach { dir =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(pairs.sparkSession.sessionState.newHadoopConf())
+              .delete(p, true)
+          } catch { case _: Exception => () } // best-effort cleanup
+        }
+      }
     // SIZE-ADAPTIVE: a near-dup graph is tiny relative to its corpus (edges
     // only between verified near-dups). The input pairs are materialized
     // ONCE; when they fit the driver comfortably, union-find closes the
     // components in one collect instead of paying join+checkpoint+count
     // round-trips per propagation round (and skips the symmetric-union
     // distinct shuffle entirely — union-find tolerates duplicate edges).
-    // The distributed loop below is unchanged for genuinely huge dup graphs.
-    val (rawPairs, rawRdds) = ckpt(pairs.select(col("a"), col("b")))
+    // The distributed loop below is unchanged for genuinely huge dup
+    // graphs. Ids are normalized to LONG up front so integer id columns
+    // take the same paths (collect and join alike).
+    val (rawPairs, rawRdds) = ckpt(
+      pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
     val pairCount = rawPairs.count() // one cheap job over checkpoint blocks
     if (2 * pairCount <= maxDriverEdges) {
-      val collected = rawPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      import org.apache.spark.sql.Encoders
+      val collected = rawPairs.as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .collect() // primitive-friendly tuples, not GenericRows
       release(rawRdds)
       val spark = pairs.sparkSession
       import spark.implicits._

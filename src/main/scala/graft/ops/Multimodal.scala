@@ -153,11 +153,11 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val raster = img.getRaster
-        // Only 8-bit band-0 samples produce honest statistics: a 16-bit
-        // PNG (ImageIO parses these) masked with & 0xff would yield
-        // silently-truncated sums/histograms, so non-8-bit rasters are
-        // rejected (None) rather than mis-measured.
-        if (raster.getSampleModel.getSampleSize(0) != 8) None
+        // Band-0 samples wider than 8 bits (a 16-bit PNG — ImageIO parses
+        // these) would be silently truncated by the & 0xff mask, so they
+        // are rejected (None) rather than mis-measured; 1/2/4-bit samples
+        // are lossless under the mask and decode normally.
+        if (raster.getSampleModel.getSampleSize(0) > 8) None
         else {
           var sum = 0L
           val hist = new Array[Long](8)

@@ -362,7 +362,11 @@ object Similarity {
           si += 1
         }
         var evals = sup.length.toLong
-        val order = sDist.zipWithIndex.sortBy(_._1).take(probesN).map(_._2)
+        // rank only NON-EMPTY supers: an empty super keeps a stale position
+        // (buildSuperIndex) and probing it would yield zero member evals —
+        // the row would silently fall back to centroid 0
+        val order = sDist.zipWithIndex.filter(p => mem(p._2).nonEmpty)
+          .sortBy(_._1).take(probesN).map(_._2)
         var best = 0
         var bestD = Double.MaxValue
         for (s <- order; ci <- mem(s)) {

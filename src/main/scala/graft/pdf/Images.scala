@@ -106,38 +106,45 @@ object PdfImages {
       var idx = 0
       // ---- XObject images (+ Form recursion)
       val visited = mutable.HashSet.empty[Long] // stream object numbers
+      // Every lookup/trace along the walk stays inside a per-ENTRY try:
+      // one corrupt reference must cost one counted error, never the
+      // document's other images (the per-image error contract).
       def walkXObjects(xobjEntry: PdfObj, depth: Int): Unit = {
         if (xobjEntry == null || depth > MaxFormDepth) return
-        PdfObjs.traceToDirect(doc.resolveObj(xobjEntry)) match {
-          case d: PdfDict =>
-            for (name <- d.keys) {
-              doc.resolveObj(d.get(name)) match {
-                case st: PdfStream if visited.add(st.num) =>
-                  PdfObjs.traceToDirect(doc.resolveObj(st.dict.get("Subtype"))) match {
-                    case PdfName("Image") =>
-                      try {
-                        out += xobjectImage(doc, st, pageIdx, idx, name)
-                        idx += 1
-                      } catch { case _: Exception => errors += 1 }
-                    case PdfName("Form") =>
-                      // nested form resources may hold more images
-                      PdfObjs.traceToDirect(doc.resolveObj(st.dict.get("Resources"))) match {
-                        case rd: PdfDict => walkXObjects(rd.get("XObject"), depth + 1)
-                        case _           => ()
-                      }
-                    case _ => ()
-                  }
-                case _ => ()
-              }
+        val entries =
+          try PdfObjs.traceToDirect(doc.resolveObj(xobjEntry)) match {
+            case d: PdfDict => d.keys.map(k => k -> d.get(k))
+            case _          => Nil
+          } catch { case t: PdfTimeout => throw t
+             case _: Exception => errors += 1; Nil }
+        for ((name, entry) <- entries) {
+          try {
+            doc.resolveObj(entry) match {
+              case st: PdfStream if visited.add(st.num) =>
+                PdfObjs.traceToDirect(doc.resolveObj(st.dict.get("Subtype"))) match {
+                  case PdfName("Image") =>
+                    out += xobjectImage(doc, st, pageIdx, idx, name)
+                    idx += 1
+                  case PdfName("Form") =>
+                    // nested form resources may hold more images
+                    PdfObjs.traceToDirect(doc.resolveObj(st.dict.get("Resources"))) match {
+                      case rd: PdfDict => walkXObjects(rd.get("XObject"), depth + 1)
+                      case _           => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
             }
-          case _ => ()
+          } catch { case t: PdfTimeout => throw t
+            case _: Exception => errors += 1 }
         }
       }
-      val resDict = PdfObjs.traceToDirect(doc.resolveObj(page.dict.get("Resources")))
-      resDict match {
-        case rd: PdfDict => walkXObjects(rd.get("XObject"), 0)
-        case _           => ()
-      }
+      try {
+        PdfObjs.traceToDirect(doc.resolveObj(page.dict.get("Resources"))) match {
+          case rd: PdfDict => walkXObjects(rd.get("XObject"), 0)
+          case _           => ()
+        }
+      } catch { case _: Exception => errors += 1 }
       // ---- inline images, in content order
       try {
         val content = doc.allContentStreams(page)

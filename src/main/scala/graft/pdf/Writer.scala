@@ -51,8 +51,11 @@ object PdfWriter {
       // sign like Go's "-0.000000".)
       val bd = new java.math.BigDecimal(v)
         .setScale(6, java.math.RoundingMode.HALF_EVEN)
-      val neg0 = v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L
-      out.write(b((if (neg0) "-" else "") + bd.toPlainString))
+      // any negative value that ROUNDS to zero (incl. -0.0 itself) keeps
+      // its sign, like Go's "%f" ("-0.000000"); BigDecimal zero is unsigned
+      val negZero = bd.signum() == 0 &&
+        (v < 0.0 || (v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L))
+      out.write(b((if (negZero) "-" else "") + bd.toPlainString))
     case s: PdfStr =>
       out.write('(')
       var i = 0

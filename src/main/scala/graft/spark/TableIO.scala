@@ -55,10 +55,20 @@ object TableIO {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      else Array(fs.getFileStatus(p))
+    // RECURSIVE listing: Spark-partitioned tables nest part files under
+    // key=value subdirectories — a top-level-only walk would silently
+    // return 0 and under-size whatever the caller parameterizes with it.
+    val files = mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    if (fs.getFileStatus(p).isDirectory) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f
+      }
+    } else files += fs.getFileStatus(p)
+    // LOUD on an empty match: a zero row count from a wrong path/layout
+    // must not silently shrink LSH bits / IVF lists.
+    require(files.nonEmpty, s"parquetRowCount: no parquet files under $path")
     files.iterator.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)

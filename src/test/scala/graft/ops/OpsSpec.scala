@@ -94,6 +94,55 @@ class OpsSpec extends AnyFunSuite {
       "(retired checkpoint blocks not released)")
   }
 
+  test("connectedComponents accepts integer id columns on both paths") {
+    import spark.implicits._
+    val edges = Seq((1, 2), (2, 3), (5, 6)).toDF("a", "b") // IntegerType
+    for (mde <- Seq(Dedup.DefaultMaxDriverEdges, 0L)) {
+      val labels = Dedup.connectedComponents(edges, maxDriverEdges = mde)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L),
+        s"mde=$mde")
+    }
+  }
+
+  test("imageDecode accepts sub-8-bit rasters (lossless under the mask)") {
+    // 1-bit black/white PNG: sample size 1 — must decode, not drop out
+    val img = new java.awt.image.BufferedImage(
+      8, 2, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (x <- 0 until 8) { img.getRaster.setSample(x, 0, 0, x % 2) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, sum, _)) = Multimodal.imageDecode(bos.toByteArray)
+    assert((w, h) == (8, 2))
+    assert(sum == 4L) // four set pixels in row 0, none in row 1
+  }
+
+  test("reliable checkpointing deletes retired CC rounds' files") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    sc.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      // a 10-chain forces ~10 distributed rounds; each retired round's
+      // reliable checkpoint FILES must be deleted, not just its blocks
+      val edges = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Dedup.connectedComponents(edges, maxDriverEdges = 0L)
+      assert(labels.select(min("label")).head().getLong(0) == 0L)
+      val remaining = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq(f)
+        walk(new java.io.File(dir)).filter(_.getName.startsWith("rdd-"))
+      }
+      // only the FINAL round (backing the returned labels) may remain
+      assert(remaining.size <= 2,
+        s"${remaining.size} rdd checkpoint dirs left: retired rounds not deleted")
+    } finally {
+      spark.conf.set("spark.graft.reliableCheckpoint", "false")
+      graft.spark.TableIO.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("reliable-checkpoint flag: x16 machinery green with .checkpoint()") {
     import spark.implicits._
     val sc = spark.sparkContext

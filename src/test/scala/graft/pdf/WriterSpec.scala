@@ -30,6 +30,10 @@ class WriterSpec extends AnyFunSuite {
     assert(ser(PdfReal(0.0078125)) == "0.007812")
     assert(ser(PdfReal(0.0234375)) == "0.023438")
     assert(ser(PdfReal(-0.0)) == "-0.000000")
+    // ANY negative value that rounds to zero keeps its sign (Go %f)
+    assert(ser(PdfReal(-1e-9)) == "-0.000000")
+    assert(ser(PdfReal(-4e-7)) == "-0.000000")
+    assert(ser(PdfReal(1e-9)) == "0.000000")
     assert(ser(PdfNull) == "null")
     assert(ser(PdfRef(7, 3)) == "7 0 R") // gen forced to 0 on write
   }

@@ -149,6 +149,18 @@ class PipelineSpec extends AnyFunSuite {
   test("parquetRowCount reads footer metadata only, matches count()") {
     val p = "/root/testdata/sf0.001/documents.parquet"
     assert(TableIO.parquetRowCount(spark, p) == spark.read.parquet(p).count())
+    // PARTITIONED layout (key=value subdirs) counts recursively
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prc").toString
+    (0 until 100).map(i => (i.toLong, i % 3)).toDF("v", "k")
+      .write.partitionBy("k").parquet(s"$dir/t")
+    assert(TableIO.parquetRowCount(spark, s"$dir/t") == 100L)
+    // empty/wrong path fails LOUDLY instead of returning 0
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/empty"))
+    intercept[IllegalArgumentException] {
+      TableIO.parquetRowCount(spark, s"$dir/empty")
+    }
+    TableIO.deleteRecursively(new java.io.File(dir))
   }
 
   test("extraction plan: single shuffle (repartition), kernel in one mapPartitions") {
