@@ -639,6 +639,21 @@ object SparkEntry {
           (id, Extract(doc).text)
         }.toDF("doc_id", "extracted").orderBy("doc_id")
     }),
+    "x46_creator_table" -> ((s, dir) => {
+      import s.implicits._
+      // CREATOR TABLE LAYOUT through the gate: a 3x3 grid of doc_id-derived
+      // cells authored as an absolute-Tm cell grid (equal fractional column
+      // widths, the NewTable default) and re-extracted — the golden
+      // extractor's Tm semantics turn the grid into cells-joined-by-TAB /
+      // rows-joined-by-NEWLINE, which the oracle rebuilds as pure string
+      // concatenation.
+      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .map { id =>
+          val rows = (0 until 3).map(i => (0 until 3).map(j =>
+            s"c${(id + i * 3 + j) % 100}"))
+          (id, Extract(graft.pdf.Creator.authorTable(rows)).text)
+        }.toDF("doc_id", "extracted").orderBy("doc_id")
+    }),
     "x45_stream_stream_join" -> ((s, dir) => {
       // STREAM-STREAM inner join through the gate: impressions
       // (event_id%10==5) joined to same-user clicks (event_id%10==0)
@@ -1043,6 +1058,16 @@ object SparkEntry {
         "FROM l JOIN m ON l.doc_id = m.doc_id GROUP BY 1) " +
         "SELECT doc_id, t || chr(10) || 'end ' || CAST(doc_id AS VARCHAR) AS extracted " +
         "FROM p1 ORDER BY doc_id"),
+    "x46_creator_table" -> {
+      // cell(i,j) = 'c' || (doc_id + i*3 + j) % 100; tabs within rows,
+      // newlines between rows (the extractor's Tm grid semantics).
+      def cell(i: Int, j: Int) =
+        s"'c' || CAST((doc_id + ${i * 3 + j}) % 100 AS VARCHAR)"
+      val rows = (0 until 3).map(i =>
+        (0 until 3).map(j => cell(i, j)).mkString(" || chr(9) || "))
+      s"SELECT doc_id, ${rows.mkString(" || chr(10) || ")} AS extracted " +
+        "FROM documents ORDER BY doc_id"
+    },
     "x45_stream_stream_join" ->
       ("SELECT i.event_id AS imp_id, i.user_id, c.event_id AS click_id " +
         "FROM events i JOIN events c ON i.user_id = c.user_id " +

@@ -184,6 +184,67 @@ object Creator {
     cc.add_ET().bytes
   }
 
+  // -------------------------------------------------------------- tables
+
+  final case class TableStyle(width: Double = 500.0, rowHeight: Double = 14.0,
+                              font: String = "Helvetica", fontSize: Double = 10.0,
+                              x: Double = 50.0, y: Double = 750.0)
+
+  /** Equal fractional column widths — NewTable's default (creator/
+    * table.go:49-72: colWidth = 1/cols; SetColumnWidths overrides).
+    */
+  def equalColWidths(cols: Int): Seq[Double] = Seq.fill(cols)(1.0 / cols)
+
+  /** Truncate a cell to its column width using the real AFM metrics (the
+    * creator-lite stand-in for per-cell paragraph wrapping: a cell is one
+    * line; overflow clips at the glyph boundary).
+    */
+  def fitCell(text: String, maxWidth: Double, style: TableStyle): String = {
+    val limit = maxWidth * 1000.0
+    var used = 0.0
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var stop = false
+    while (i < text.length && !stop) {
+      val ch = text.charAt(i)
+      val w = style.fontSize * widthOf(style.font, ch).getOrElse(
+        throw new PdfError(s"Glyph not found for rune: $ch"))
+      if (used + w > limit) stop = true
+      else { sb.append(ch); used += w }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Content stream for a cell grid (creator/table.go GeneratePageBlocks
+    * shape): each cell is positioned by an absolute Tm at its column x
+    * (cumulative fractional widths) and row y (descending by rowHeight).
+    * Under the golden extractor this emits exactly cells-joined-by-TAB
+    * within a row (x ascent) and rows-joined-by-NEWLINE (y descent) — the
+    * s04 Tm semantics, which is what the x46 oracle states.
+    */
+  def tableContent(rows: Seq[Seq[String]], colWidths: Seq[Double],
+                   style: TableStyle = TableStyle()): Array[Byte] = {
+    require(rows.forall(_.length == colWidths.length),
+      "every row must have one cell per column")
+    val xs = colWidths.scanLeft(0.0)(_ + _).init.map(f => style.x + f * style.width)
+    val cc = new ContentCreator()
+    cc.add_BT().add_Tf("F1", style.fontSize)
+    for ((row, i) <- rows.zipWithIndex; (cell, j) <- row.zipWithIndex) {
+      cc.add_Tm(1, 0, 0, 1, xs(j), style.y - i * style.rowHeight)
+      cc.add_Tj(fitCell(cell, colWidths(j) * style.width, style))
+    }
+    cc.add_ET().bytes
+  }
+
+  /** Author a one-page table document. */
+  def authorTable(rows: Seq[Seq[String]], colWidths: Seq[Double] = Nil,
+                  style: TableStyle = TableStyle()): Array[Byte] = {
+    val cw = if (colWidths.nonEmpty) colWidths
+    else equalColWidths(rows.headOption.map(_.length).getOrElse(1))
+    PdfWriter.authorSimple(Seq(tableContent(rows, cw, style)), baseFont = style.font)
+  }
+
   /** Author a document with one wrapped paragraph per page (the
     * NewPdfWriter scaffold via authorSimple; pages join with "\n" on
     * extraction).

@@ -87,6 +87,24 @@ class CreatorSpec extends AnyFunSuite {
       words.slice(10, 12).mkString(" ")))
   }
 
+  test("table layout: Tm grid extracts as tabs/newlines; cells clip at AFM width") {
+    val rows = Seq(Seq("r0c0", "r0c1"), Seq("r1c0", "r1c1"))
+    val doc = Creator.authorTable(rows)
+    assert(graft.Extract(doc).text == "r0c0\tr0c1\nr1c0\tr1c1")
+    // explicit fractional widths (SetColumnWidths analogue) also land
+    val doc2 = Creator.authorTable(rows, colWidths = Seq(0.7, 0.3))
+    assert(graft.Extract(doc2).text == "r0c0\tr0c1\nr1c0\tr1c1")
+    // cell truncation at the REAL glyph boundary: 'w'=722 at size 10 in a
+    // 30pt column -> floor(30000/7220) = 4 chars survive
+    val st = Creator.TableStyle()
+    assert(Creator.fitCell("wwwwwwww", 30.0, st) == "wwww")
+    assert(Creator.fitCell("short", 500.0, st) == "short")
+    // ragged rows are rejected loudly
+    intercept[IllegalArgumentException] {
+      Creator.tableContent(Seq(Seq("a"), Seq("b", "c")), Creator.equalColWidths(1))
+    }
+  }
+
   test("authored paragraphs extract byte-identically via the golden kernel") {
     val para1 = (0 until 13).map(j => f"w${j}%04d").mkString(" ")
     val doc = Creator.authorParagraphs(Seq(para1, "end 7"))
