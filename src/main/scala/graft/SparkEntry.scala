@@ -639,6 +639,18 @@ object SparkEntry {
           (id, Extract(doc).text)
         }.toDF("doc_id", "extracted").orderBy("doc_id")
     }),
+    "x47_pipeline_images" -> ((s, dir) => {
+      // The IMAGES TABLE as a pipeline operator over the full 24-variant
+      // rotation: one mapPartitions pass emits per-image rows (variant 22
+      // carries the 4 formula images, variant 10 the s15 inline image) and
+      // a no-image marker row for every other document. The oracle states
+      // the per-variant expectation as doc_id arithmetic.
+      val pages = PagesGen.pagesPdf(s, dir).toDF()
+      Pipeline.extractImages(s, pages).toDF()
+        .select(expr("CAST(element_at(split(url, '-'), -1) AS BIGINT)").as("doc_id"),
+          col("idx"), col("source"), col("width"), col("height"), col("band0_sum"))
+        .orderBy("doc_id", "idx")
+    }),
     "x46_creator_table" -> ((s, dir) => {
       import s.implicits._
       // CREATOR TABLE LAYOUT through the gate: a 3x3 grid of doc_id-derived
@@ -1058,6 +1070,27 @@ object SparkEntry {
         "FROM l JOIN m ON l.doc_id = m.doc_id GROUP BY 1) " +
         "SELECT doc_id, t || chr(10) || 'end ' || CAST(doc_id AS VARCHAR) AS extracted " +
         "FROM p1 ORDER BY doc_id"),
+    "x47_pipeline_images" ->
+      // Per-variant expectation: v10 -> the s15 inline 4x2 image (raw
+      // bytes sum 369), v22 -> the four x43 formula images, every other
+      // variant -> one 'none' marker row.
+      ("WITH d AS (SELECT doc_id, doc_id % 24 AS v, " +
+        "8 + doc_id % 24 AS w0, 8 + (doc_id // 7) % 16 AS h0, " +
+        "4 + doc_id % 8 AS w1, 4 + (doc_id // 5) % 8 AS h1, " +
+        "4 + doc_id % 6 AS w2, 3 + (doc_id // 3) % 5 AS h2 FROM documents) " +
+        "SELECT doc_id, CAST(-1 AS INT) AS idx, 'none' AS source, " +
+        "CAST(0 AS INT) AS width, CAST(0 AS INT) AS height, " +
+        "CAST(0 AS BIGINT) AS band0_sum FROM d WHERE v <> 10 AND v <> 22 " +
+        "UNION ALL SELECT doc_id, 0, 'inline', 4, 2, 369 FROM d WHERE v = 10 " +
+        "UNION ALL SELECT doc_id, 0, 'xobject', CAST(w0 AS INT), CAST(h0 AS INT), " +
+        "CAST(list_sum(list_transform(range(0, w0*h0), i -> ((i % w0) + (i // w0) + doc_id) % 256)) AS BIGINT) FROM d WHERE v = 22 " +
+        "UNION ALL SELECT doc_id, 1, 'xobject', CAST(w1 AS INT), CAST(h1 AS INT), " +
+        "CAST(list_sum(list_transform(range(0, w1*h1), i -> ((i % w1) + (i // w1) + doc_id) % 16)) AS BIGINT) FROM d WHERE v = 22 " +
+        "UNION ALL SELECT doc_id, 2, 'xobject', CAST(w2 AS INT), CAST(h2 AS INT), " +
+        "CAST(list_sum(list_transform(range(0, w2*h2), i -> ((i % w2) + 2*(i // w2) + doc_id) % 256)) AS BIGINT) FROM d WHERE v = 22 " +
+        "UNION ALL SELECT doc_id, 3, 'inline', 8, 6, " +
+        "CAST(list_sum(list_transform(range(0, 48), i -> (2*(i % 8) + (i // 8) + doc_id) % 256)) AS BIGINT) FROM d WHERE v = 22 " +
+        "ORDER BY doc_id, idx"),
     "x46_creator_table" -> {
       // cell(i,j) = 'c' || (doc_id + i*3 + j) % 100; tabs within rows,
       // newlines between rows (the extractor's Tm grid semantics).

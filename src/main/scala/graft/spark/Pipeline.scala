@@ -131,4 +131,41 @@ object Pipeline {
   def run(spark: SparkSession, pages: DataFrame, runId: String,
           numPartitions: Int = -1): Dataset[ExtractedRow] =
     extract(spark, dedupLatest(pages), runId, numPartitions)
+
+  /** IMAGE extraction over a pages table: the multimodal bridge as a
+    * first-class pipeline operator. One mapPartitions pass (same
+    * no-pre-shuffle default as text extraction) enumerates + decodes every
+    * raster of every PDF payload through PdfImages and emits one ImageRow
+    * per image with integer statistics (plus a no-image marker row per
+    * document carrying its error count, so lineage never loses documents).
+    * Non-PDF payloads yield the marker row with zero errors. Raw samples
+    * stay inside the partition — at 100 TB the images table carries
+    * statistics and identities, with decoded bytes re-derivable by a
+    * downstream stage that needs pixels.
+    */
+  def extractImages(spark: SparkSession, pages: DataFrame,
+                    maxBytesPerDoc: Int = DefaultMaxBytesPerDoc): Dataset[ImageRow] = {
+    import spark.implicits._
+    pages.select("url", "warc_ts", "html", "text", "lang").as[PageRow]
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val payload = row.html
+          if (payload == null || payload.length > maxBytesPerDoc ||
+            !graft.Extract.isPdf(payload)) {
+            Iterator.single(ImageRow(row.url, -1, -1, "none", 0, 0, 0, 0,
+              if (payload == null) 0L else payload.length.toLong, 0L, 0))
+          } else {
+            val scan = graft.pdf.PdfImages.imagesOf(payload)
+            if (scan.images.isEmpty)
+              Iterator.single(ImageRow(row.url, -1, -1, "none", 0, 0, 0, 0,
+                payload.length.toLong, 0L, scan.nErrors))
+            else scan.images.iterator.map { im =>
+              ImageRow(row.url, im.page, im.idx, im.source, im.width,
+                im.height, im.bpc, im.components, im.data.length.toLong,
+                im.band0Sum, scan.nErrors)
+            }
+          }
+        }
+      }
+  }
 }

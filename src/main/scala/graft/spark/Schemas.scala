@@ -28,6 +28,22 @@ final case class ExtractedRow(
     partition_id: Int)
 
 /** One lineage row per task partition (SURVEY.md §1.2). */
+/** One raster pulled out of a page payload (the multimodal-bridge table:
+  * feeds Multimodal-style decode/dedup stats downstream).
+  */
+final case class ImageRow(
+    url: String,
+    page: Int,
+    idx: Int,
+    source: String,
+    width: Int,
+    height: Int,
+    bpc: Int,
+    components: Int,
+    n_bytes: Long,
+    band0_sum: Long,
+    n_errors: Int)
+
 final case class LineageRow(
     run_id: String,
     partition_id: Int,

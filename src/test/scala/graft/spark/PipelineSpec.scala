@@ -163,6 +163,37 @@ class PipelineSpec extends AnyFunSuite {
     TableIO.deleteRecursively(new java.io.File(dir))
   }
 
+  test("extractImages: one pass emits per-image rows + no-image markers") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val pages = Seq(
+      PageRow("u-img", ts, graft.fixtures.PdfFixtures.sImages("pic doc", 9L), "", "en"),
+      PageRow("u-plain", ts, graft.fixtures.PdfFixtures.s01("no pics"), "", "en"),
+      PageRow("u-html", ts, graft.fixtures.PdfFixtures.htmlSimple("web page"), "", "en"),
+      PageRow("u-garbage", ts, "%PDF-nope".getBytes, "", "en")).toDF()
+    val rows = Pipeline.extractImages(spark, pages).collect()
+    val byUrl = rows.groupBy(_.url)
+    // the image page yields its 3 XObjects + 1 inline, formula-exact stats
+    val imgs = byUrl("u-img").sortBy(_.idx)
+    assert(imgs.length == 4)
+    assert(imgs.map(_.source).toSeq == Seq("xobject", "xobject", "xobject", "inline"))
+    val im0 = imgs.head
+    assert((im0.width, im0.height, im0.bpc, im0.components) ==
+      (8 + 9 % 24, 8 + (9 / 7) % 16, 8, 1))
+    assert(im0.band0_sum == (for (y <- 0 until im0.height; x <- 0 until im0.width)
+      yield (x + y + 9) % 256).sum)
+    // image-less / non-PDF / unparseable docs each keep exactly one marker
+    for (u <- Seq("u-plain", "u-html", "u-garbage")) {
+      assert(byUrl(u).length == 1, u)
+      assert(byUrl(u).head.source == "none", u)
+    }
+    assert(byUrl("u-garbage").head.n_errors == 1)
+    assert(byUrl("u-html").head.n_errors == 0)
+    // plan shape: no exchange before the kernel (same contract as extract)
+    val plan = Pipeline.extractImages(spark, pages).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "extractImages must not pre-shuffle")
+  }
+
   test("extraction plan: single shuffle (repartition), kernel in one mapPartitions") {
     val pages = PagesGen.smokeTable(spark)
     val ds = Pipeline.extract(spark, pages, "plan", numPartitions = 4)
