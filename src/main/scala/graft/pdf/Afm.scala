@@ -22,6 +22,12 @@ object Afm {
       codeToGlyph.get(code).flatMap(widthsByGlyph.get)
   }
 
+  private def num(s: String, what: String): Int =
+    try s.toDouble.toInt
+    catch { case _: NumberFormatException =>
+      throw new PdfError(s"malformed AFM number for $what: $s")
+    }
+
   def parse(text: String): AfmFont = {
     var fontName = ""
     var fixed = false
@@ -43,8 +49,8 @@ object Afm {
           for (part <- line.split(";").map(_.trim) if part.nonEmpty) {
             val toks = part.split("\\s+")
             toks(0) match {
-              case "C" if toks.length > 1  => code = toks(1).toInt
-              case "WX" if toks.length > 1 => wx = toks(1).toDouble.toInt
+              case "C" if toks.length > 1  => code = num(toks(1), "C")
+              case "WX" if toks.length > 1 => wx = num(toks(1), "WX")
               case "N" if toks.length > 1  => name = toks(1)
               case _                       => () // B bbox, L ligatures: ignored
             }
@@ -63,9 +69,9 @@ object Afm {
           key match {
             case "FontName"     => fontName = value
             case "IsFixedPitch" => fixed = value == "true"
-            case "CapHeight"    => cap = value.toDouble.toInt
-            case "Ascender"     => asc = value.toDouble.toInt
-            case "Descender"    => desc = value.toDouble.toInt
+            case "CapHeight"    => cap = num(value, "CapHeight")
+            case "Ascender"     => asc = num(value, "Ascender")
+            case "Descender"    => desc = num(value, "Descender")
             case _              => ()
           }
         }
@@ -105,4 +111,51 @@ object Afm {
     */
   def asciiWidth(font: AfmFont, c: Char): Option[Int] =
     AsciiGlyphNames.get(c).flatMap(font.widthsByGlyph.get)
+
+  /** WinAnsi (cp1252) rune -> Adobe glyph name beyond ASCII — the
+    * textencoding/winansi.go mapping the Creator WinAnsi table was built
+    * through (NBSP shares the space glyph).
+    */
+  val WinAnsiGlyphNames: Map[Char, String] = {
+    val typographic = Map(
+      '€' -> "Euro", '‚' -> "quotesinglbase", 'ƒ' -> "florin",
+      '„' -> "quotedblbase", '…' -> "ellipsis", '†' -> "dagger",
+      '‡' -> "daggerdbl", 'ˆ' -> "circumflex", '‰' -> "perthousand",
+      'Š' -> "Scaron", '‹' -> "guilsinglleft", 'Œ' -> "OE", 'Ž' -> "Zcaron",
+      '‘' -> "quoteleft", '’' -> "quoteright", '“' -> "quotedblleft",
+      '”' -> "quotedblright", '•' -> "bullet", '–' -> "endash",
+      '—' -> "emdash", '˜' -> "tilde", '™' -> "trademark", 'š' -> "scaron",
+      '›' -> "guilsinglright", 'œ' -> "oe", 'ž' -> "zcaron", 'Ÿ' -> "Ydieresis")
+    val latin1 = Map(
+      '\u00a0' -> "space", '¡' -> "exclamdown", '¢' -> "cent", '£' -> "sterling",
+      '¤' -> "currency", '¥' -> "yen", '¦' -> "brokenbar", '§' -> "section",
+      '¨' -> "dieresis", '©' -> "copyright", 'ª' -> "ordfeminine",
+      '«' -> "guillemotleft", '¬' -> "logicalnot", '\u00ad' -> "hyphen",
+      '®' -> "registered", '¯' -> "macron", '°' -> "degree", '±' -> "plusminus",
+      '²' -> "twosuperior", '³' -> "threesuperior", '´' -> "acute", 'µ' -> "mu",
+      '¶' -> "paragraph", '·' -> "periodcentered", '¸' -> "cedilla",
+      '¹' -> "onesuperior", 'º' -> "ordmasculine", '»' -> "guillemotright",
+      '¼' -> "onequarter", '½' -> "onehalf", '¾' -> "threequarters",
+      '¿' -> "questiondown", 'À' -> "Agrave", 'Á' -> "Aacute",
+      'Â' -> "Acircumflex", 'Ã' -> "Atilde", 'Ä' -> "Adieresis",
+      'Å' -> "Aring", 'Æ' -> "AE", 'Ç' -> "Ccedilla", 'È' -> "Egrave",
+      'É' -> "Eacute", 'Ê' -> "Ecircumflex", 'Ë' -> "Edieresis",
+      'Ì' -> "Igrave", 'Í' -> "Iacute", 'Î' -> "Icircumflex",
+      'Ï' -> "Idieresis", 'Ð' -> "Eth", 'Ñ' -> "Ntilde", 'Ò' -> "Ograve",
+      'Ó' -> "Oacute", 'Ô' -> "Ocircumflex", 'Õ' -> "Otilde",
+      'Ö' -> "Odieresis", '×' -> "multiply", 'Ø' -> "Oslash",
+      'Ù' -> "Ugrave", 'Ú' -> "Uacute", 'Û' -> "Ucircumflex",
+      'Ü' -> "Udieresis", 'Ý' -> "Yacute", 'Þ' -> "Thorn",
+      'ß' -> "germandbls", 'à' -> "agrave", 'á' -> "aacute",
+      'â' -> "acircumflex", 'ã' -> "atilde", 'ä' -> "adieresis",
+      'å' -> "aring", 'æ' -> "ae", 'ç' -> "ccedilla", 'è' -> "egrave",
+      'é' -> "eacute", 'ê' -> "ecircumflex", 'ë' -> "edieresis",
+      'ì' -> "igrave", 'í' -> "iacute", 'î' -> "icircumflex",
+      'ï' -> "idieresis", 'ð' -> "eth", 'ñ' -> "ntilde", 'ò' -> "ograve",
+      'ó' -> "oacute", 'ô' -> "ocircumflex", 'õ' -> "otilde",
+      'ö' -> "odieresis", '÷' -> "divide", 'ø' -> "oslash", 'ù' -> "ugrave",
+      'ú' -> "uacute", 'û' -> "ucircumflex", 'ü' -> "udieresis",
+      'ý' -> "yacute", 'þ' -> "thorn", 'ÿ' -> "ydieresis")
+    typographic ++ latin1
+  }
 }

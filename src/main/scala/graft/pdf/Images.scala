@@ -144,7 +144,8 @@ object PdfImages {
           case rd: PdfDict => walkXObjects(rd.get("XObject"), 0)
           case _           => ()
         }
-      } catch { case _: Exception => errors += 1 }
+      } catch { case t: PdfTimeout => throw t
+        case _: Exception => errors += 1 }
       // ---- inline images, in content order
       try {
         val content = doc.allContentStreams(page)
@@ -159,15 +160,25 @@ object PdfImages {
             case _ => ()
           }
         }
-      } catch { case _: Exception => errors += 1 }
+      } catch { case t: PdfTimeout => throw t
+        case _: Exception => errors += 1 }
     }
     ImageScan(out.toSeq, errors)
   }
 
-  /** Convenience: open + scan; any open failure is one error, zero images. */
+  /** Convenience: open + scan; any open/scan failure is one error, zero
+    * images. Extract-style backstop: interrupts and OOM propagate (task
+    * cancellation / unreliable heap), everything else — including kernel
+    * Errors — becomes the counted failure.
+    */
   def imagesOf(data: Array[Byte], passwords: Seq[Array[Byte]] = Nil): ImageScan =
     try imagesOf(PdfDocument.open(data, passwords))
-    catch { case _: Exception => ImageScan(Nil, 1) }
+    catch {
+      case ie: InterruptedException =>
+        Thread.currentThread().interrupt(); throw ie
+      case fatal: OutOfMemoryError => throw fatal
+      case _: Throwable => ImageScan(Nil, 1)
+    }
 
   /** NewXObjectImageFromStream + ToImage (xobject.go:370-446, 499-539). */
   private def xobjectImage(doc: PdfDocument, st: PdfStream,

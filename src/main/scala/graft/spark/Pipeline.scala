@@ -136,33 +136,50 @@ object Pipeline {
     * first-class pipeline operator. One mapPartitions pass (same
     * no-pre-shuffle default as text extraction) enumerates + decodes every
     * raster of every PDF payload through PdfImages and emits one ImageRow
-    * per image with integer statistics (plus a no-image marker row per
-    * document carrying its error count, so lineage never loses documents).
-    * Non-PDF payloads yield the marker row with zero errors. Raw samples
-    * stay inside the partition — at 100 TB the images table carries
-    * statistics and identities, with decoded bytes re-derivable by a
-    * downstream stage that needs pixels.
+    * per image with integer statistics, plus a marker row (source "none")
+    * per image-less document so lineage never loses documents. The FULL
+    * extract guard set applies per document: empty / oversize payloads and
+    * non-PDFs keep taxonomy marker rows, the per-document Deadline makes a
+    * hostile spinning PDF a `timeout` row instead of a stuck task, and the
+    * Extract-style Throwable backstop turns any kernel defect into an
+    * `error` row (interrupts and OOM still propagate). Raw samples stay
+    * inside the partition — at 100 TB the images table carries statistics
+    * and identities, with decoded bytes re-derivable downstream.
     */
   def extractImages(spark: SparkSession, pages: DataFrame,
-                    maxBytesPerDoc: Int = DefaultMaxBytesPerDoc): Dataset[ImageRow] = {
+                    maxBytesPerDoc: Int = DefaultMaxBytesPerDoc,
+                    timeoutMs: Long = Extract.DefaultTimeoutMs): Dataset[ImageRow] = {
     import spark.implicits._
+    import graft.pdf.{Deadline, PdfTimeout}
     pages.select("url", "warc_ts", "html", "text", "lang").as[PageRow]
       .mapPartitions { it =>
         it.flatMap { row =>
           val payload = row.html
-          if (payload == null || payload.length > maxBytesPerDoc ||
-            !graft.Extract.isPdf(payload)) {
+          def marker(status: String, nErrors: Int): Iterator[ImageRow] =
             Iterator.single(ImageRow(row.url, -1, -1, "none", 0, 0, 0, 0,
-              if (payload == null) 0L else payload.length.toLong, 0L, 0))
-          } else {
-            val scan = graft.pdf.PdfImages.imagesOf(payload)
-            if (scan.images.isEmpty)
-              Iterator.single(ImageRow(row.url, -1, -1, "none", 0, 0, 0, 0,
-                payload.length.toLong, 0L, scan.nErrors))
-            else scan.images.iterator.map { im =>
-              ImageRow(row.url, im.page, im.idx, im.source, im.width,
-                im.height, im.bpc, im.components, im.data.length.toLong,
-                im.band0Sum, scan.nErrors)
+              if (payload == null) 0L else payload.length.toLong, 0L,
+              nErrors, status))
+          if (payload == null || payload.length == 0) marker("empty", 0)
+          else if (payload.length > maxBytesPerDoc) marker("skipped_oversize", 0)
+          else if (!graft.Extract.isPdf(payload)) marker("non_pdf", 0)
+          else {
+            try {
+              if (timeoutMs > 0) Deadline.set(System.nanoTime() + timeoutMs * 1000000L)
+              val scan =
+                try graft.pdf.PdfImages.imagesOf(graft.pdf.PdfDocument.open(payload))
+                finally Deadline.clear()
+              if (scan.images.isEmpty) marker("ok", scan.nErrors)
+              else scan.images.iterator.map { im =>
+                ImageRow(row.url, im.page, im.idx, im.source, im.width,
+                  im.height, im.bpc, im.components, im.data.length.toLong,
+                  im.band0Sum, scan.nErrors, "ok")
+              }
+            } catch {
+              case _: PdfTimeout => marker("timeout", 1)
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt(); throw ie
+              case fatal: OutOfMemoryError => throw fatal
+              case _: Throwable => marker("error", 1) // Extract-style backstop
             }
           }
         }

@@ -27,9 +27,12 @@ final case class ExtractedRow(
     error: String,
     partition_id: Int)
 
-/** One lineage row per task partition (SURVEY.md §1.2). */
 /** One raster pulled out of a page payload (the multimodal-bridge table:
-  * feeds Multimodal-style decode/dedup stats downstream).
+  * feeds Multimodal-style decode/dedup stats downstream). `status` carries
+  * the extract taxonomy (ok | error | empty | skipped_oversize | timeout)
+  * plus `non_pdf` for payloads the image scanner does not apply to; marker
+  * rows (source = "none") keep one row per document so lineage never loses
+  * documents and skipped/failed docs stay re-targetable.
   */
 final case class ImageRow(
     url: String,
@@ -42,8 +45,10 @@ final case class ImageRow(
     components: Int,
     n_bytes: Long,
     band0_sum: Long,
-    n_errors: Int)
+    n_errors: Int,
+    status: String)
 
+/** One lineage row per task partition (SURVEY.md §1.2). */
 final case class LineageRow(
     run_id: String,
     partition_id: Int,

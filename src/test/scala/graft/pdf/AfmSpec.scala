@@ -32,12 +32,14 @@ class AfmSpec extends AnyFunSuite {
       for (c <- ' ' to '~')
         assert(Afm.asciiWidth(f, c) == table.get(c), s"$file char '$c'")
     }
-    // the WinAnsi extension matches too (glyph names via the cp1252 map)
+    // the WinAnsi extension matches GLYPH-FOR-GLYPH: every rune maps
+    // through its Adobe glyph name (Afm.WinAnsiGlyphNames) to the AFM
+    // width our table carries
     val helv = Afm.parseFile(s"$afms/Helvetica.afm")
-    for ((c, w) <- Creator.HelveticaWinAnsiWidths if c >= 0xA1 && c <= 0xFF) {
-      // Latin-1 supplement codes exist in the AFM name space
-      val byName = helv.widthsByGlyph.filter(_._2 == w)
-      assert(byName.nonEmpty, s"no glyph of width $w for '$c'")
+    for ((c, w) <- Creator.HelveticaWinAnsiWidths) {
+      val glyph = Afm.WinAnsiGlyphNames(c)
+      assert(helv.widthsByGlyph.get(glyph).contains(w),
+        s"'$c' ($glyph): table $w vs afm ${helv.widthsByGlyph.get(glyph)}")
     }
     // Courier faces: every ASCII glyph 600 in the AFM, like widthOf says
     val cour = Afm.parseFile(s"$afms/Courier.afm")

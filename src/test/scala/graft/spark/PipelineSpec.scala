@@ -170,9 +170,37 @@ class PipelineSpec extends AnyFunSuite {
       PageRow("u-img", ts, graft.fixtures.PdfFixtures.sImages("pic doc", 9L), "", "en"),
       PageRow("u-plain", ts, graft.fixtures.PdfFixtures.s01("no pics"), "", "en"),
       PageRow("u-html", ts, graft.fixtures.PdfFixtures.htmlSimple("web page"), "", "en"),
-      PageRow("u-garbage", ts, "%PDF-nope".getBytes, "", "en")).toDF()
-    val rows = Pipeline.extractImages(spark, pages).collect()
-    val byUrl = rows.groupBy(_.url)
+      PageRow("u-garbage", ts, "%PDF-nope".getBytes, "", "en"),
+      PageRow("u-empty", ts, Array.emptyByteArray, "", "en"),
+      PageRow("u-big", ts, Array.fill[Byte](60)('x'), "", "en")).toDF()
+    val rows = Pipeline.extractImages(spark, pages, maxBytesPerDoc = 50).collect()
+    // oversize cap of 50 bytes only catches u-big; raise for the real docs
+    val rows2 = Pipeline.extractImages(spark,
+      pages.filter(col("url") =!= "u-big")).collect()
+    val byUrl = rows2.groupBy(_.url)
+    // the status taxonomy holds (the images-table analogue of x34)
+    assert(rows.find(_.url == "u-big").get.status == "skipped_oversize")
+    assert(byUrl("u-empty").head.status == "empty")
+    assert(byUrl("u-html").head.status == "non_pdf")
+    assert(byUrl("u-garbage").head.status == "error")
+    assert(byUrl("u-plain").head.status == "ok")
+    assert(byUrl("u-img").forall(_.status == "ok"))
+    // TIMEOUT guard is live on the image path: a 200k-op content stream
+    // (the parse loop polls Deadline every 1024 ops) against a 1 ms budget
+    // becomes a timeout marker, not a stuck task
+    val spin = {
+      val c = ("BT " + "0 0 Td " * 200000 + "ET")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val bld = new graft.fixtures.PdfFixtures.Builder()
+      bld.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      bld.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+      bld.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+      bld.stream(4, s"<< /Length ${c.length} >>", c)
+      bld.build()
+    }
+    val hrows = Pipeline.extractImages(spark,
+      Seq(PageRow("u-spin", ts, spin, "", "en")).toDF(), timeoutMs = 1).collect()
+    assert(hrows.map(_.status).toSeq == Seq("timeout"))
     // the image page yields its 3 XObjects + 1 inline, formula-exact stats
     val imgs = byUrl("u-img").sortBy(_.idx)
     assert(imgs.length == 4)
@@ -183,7 +211,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(im0.band0_sum == (for (y <- 0 until im0.height; x <- 0 until im0.width)
       yield (x + y + 9) % 256).sum)
     // image-less / non-PDF / unparseable docs each keep exactly one marker
-    for (u <- Seq("u-plain", "u-html", "u-garbage")) {
+    for (u <- Seq("u-plain", "u-html", "u-garbage", "u-empty")) {
       assert(byUrl(u).length == 1, u)
       assert(byUrl(u).head.source == "none", u)
     }
