@@ -18,6 +18,21 @@ import graft.spark.{PagesGen, Pipeline}
   */
 object SparkEntry {
 
+  /** documents scan with the input-skew guard (guide §2.5): the sf tables
+    * are single small parquet files = one-partition scans, which serialize
+    * every per-row KERNEL map (payload build + PDF parse/rewrite/author per
+    * row) on a single core. Applied ONLY where interleaved A/B showed a win
+    * (the kernel-heavy extraction/authoring maps: x30-x34, x43, x44, x46 —
+    * e.g. x42 7.1 s -> 1.2 s, x44 1.34 -> 0.66); the cheap-UDF/SQL queries
+    * (minhash, embeddings, langid, bpe) are scheduling-bound at bench scale
+    * and measurably regress under the extra exchange, so they keep the raw
+    * scan. spreadScan is a no-op once the scan yields >= defaultParallelism
+    * splits (any at-scale table).
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    graft.spark.TableIO.spreadScan(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+
   /** Scratch dir for the streaming gate queries: RAM-backed when available,
     * recursively deleted on JVM exit (repeated verification runs must not
     * accumulate event-table copies in /tmp).
@@ -135,7 +150,7 @@ object SparkEntry {
       // TWO-page docs: page 2 has NO resources anywhere (raw Tj without Tf);
       // doc text = page1 + "\n" + page2 (the page-glue contract). Exercises
       // buildPageList/Kids + the no-codemap raw-bytes path through the gate.
-      s.read.parquet(s"$dir/documents.parquet")
+      docsSpread(s, dir)
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           val r = Extract(graft.fixtures.PdfFixtures.twoPages(text, s"p2 of $id"))
@@ -146,7 +161,7 @@ object SparkEntry {
       import s.implicits._
       // /Contents as an ARRAY of two streams -> joined with " " at the page
       // level (allContentStreams glue).
-      s.read.parquet(s"$dir/documents.parquet")
+      docsSpread(s, dir)
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           val r = Extract(graft.fixtures.PdfFixtures.s09(text, s"part2 of $id"))
@@ -159,7 +174,7 @@ object SparkEntry {
       // offsets"): two-page docs yield exactly 2 spans with byte offsets
       // [0, len1) for page 0 and [len1+1, total) for page 1 (after the
       // joining '\n') — all mirrored as octet_length arithmetic in SQL.
-      s.read.parquet(s"$dir/documents.parquet")
+      docsSpread(s, dir)
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           val r = Extract(graft.fixtures.PdfFixtures.twoPages(text, s"p2 of $id"))
@@ -172,7 +187,7 @@ object SparkEntry {
       import s.implicits._
       // Entity-encoded pages (named + numeric dec/hex refs) must decode back
       // to the whitespace-normalized source text.
-      s.read.parquet(s"$dir/documents.parquet")
+      docsSpread(s, dir)
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           (id, Extract(graft.fixtures.PdfFixtures.htmlEntities(text)).text)
@@ -205,7 +220,7 @@ object SparkEntry {
       // budget; 1-in-250 planting keeps the deliberate spin cost out of
       // the verification wall clock) and valid docs (ok), with the
       // expected histogram pure doc_id arithmetic.
-      val pages = s.read.parquet(s"$dir/documents.parquet")
+      val pages = docsSpread(s, dir)
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           val payload: Array[Byte] =
@@ -507,7 +522,7 @@ object SparkEntry {
       // XObjects then content-order inline images and decodes samples per
       // the reference GetSamples bit-stream semantics; the oracle
       // recomputes every dimension and band-0 sum as pure SQL arithmetic.
-      s.read.parquet(s"$dir/documents.parquet")
+      docsSpread(s, dir)
         .select("doc_id", "text").as[(Long, String)]
         .flatMap { case (id, text) =>
           val scan = graft.pdf.PdfImages.imagesOf(
@@ -630,7 +645,7 @@ object SparkEntry {
       // SQL string aggregation — any drift in the AFM widths, the greedy
       // loop, the trailing-space quirk, authoring, or extraction breaks
       // the hash.
-      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      docsSpread(s, dir).select("doc_id").as[Long]
         .map { id =>
           val n = 20 + (id % 30).toInt
           val words = (0 until n).map(j => f"w${(id + j) % 10000}%04d")
@@ -659,7 +674,7 @@ object SparkEntry {
       // extractor's Tm semantics turn the grid into cells-joined-by-TAB /
       // rows-joined-by-NEWLINE, which the oracle rebuilds as pure string
       // concatenation.
-      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      docsSpread(s, dir).select("doc_id").as[Long]
         .map { id =>
           val rows = (0 until 3).map(i => (0 until 3).map(j =>
             s"c${(id + i * 3 + j) % 100}"))

@@ -16,15 +16,31 @@ object PdfFixtures {
 
   /** Escape raw bytes into a PDF literal string body. */
   def escapeString(data: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(data.length + 8)
-    for (x <- data) {
-      val c = x & 0xff
-      if (c == '(' || c == ')' || c == '\\') { out.write('\\'); out.write(c) }
-      else if (c == '\r') { out.write('\\'); out.write('r') } // raw CR would be
-      // EOL-normalized to \n by the string parser (byte identity breaks)
-      else out.write(c)
+    // Count-then-fill (no per-byte synchronized BAOS write — this runs per
+    // document line in the bench corpus builder): raw CR escapes as \r
+    // because a raw CR would be EOL-normalized to \n by the string parser
+    // (byte identity breaks). Output bytes identical to the old loop.
+    var esc = 0
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      if (c == '(' || c == ')' || c == '\\' || c == '\r') esc += 1
+      i += 1
     }
-    out.toByteArray
+    if (esc == 0) return data.clone()
+    val out = new Array[Byte](data.length + esc)
+    var o = 0
+    i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      if (c == '(' || c == ')' || c == '\\') {
+        out(o) = '\\'; out(o + 1) = c.toByte; o += 2
+      } else if (c == '\r') {
+        out(o) = '\\'; out(o + 1) = 'r'; o += 2
+      } else { out(o) = c.toByte; o += 1 }
+      i += 1
+    }
+    out
   }
 
   def escapeStringText(text: String): Array[Byte] = escapeString(text.getBytes(UTF_8))
@@ -966,15 +982,25 @@ object PdfFixtures {
     * line (expected text = lines joined with newlines, per the Td ty<0 rule).
     */
   def multiLineContent(lines: Seq[String]): Array[Byte] = {
-    val sb = new StringBuilder("BT /F1 12 Tf ")
+    // Assembled as BYTES end to end (the old byte->String->StringBuilder->
+    // String->byte round trip cost 3 full copies + a char conversion each
+    // way; this builder is the corpus_build per-task hot spot). ISO-8859-1
+    // is byte-preserving, so the output is identical.
+    val out = new ByteArrayOutputStream(32 + lines.iterator.map(_.length + 16).sum)
+    out.write(b("BT /F1 12 Tf "), 0, 13)
+    val td = b("0 -12 Td ")
+    val tj = b(") Tj ")
     var first = true
     for (l <- lines) {
-      if (!first) sb.append("0 -12 Td ")
-      sb.append('(').append(new String(escapeStringText(l), ISO_8859_1)).append(") Tj ")
+      if (!first) out.write(td, 0, td.length)
+      out.write('(')
+      val e = escapeStringText(l)
+      out.write(e, 0, e.length)
+      out.write(tj, 0, tj.length)
       first = false
     }
-    sb.append("ET")
-    b(sb.toString)
+    out.write('E'); out.write('T')
+    out.toByteArray
   }
 
   /** Multi-line PDF in the chosen container variant:

@@ -84,7 +84,15 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // Explicit MEMORY-cached output stream: ImageIO.write(img, fmt,
+    // OutputStream) wraps the target via createImageOutputStream, which
+    // under the default useCache=true backs every call with a TEMP FILE —
+    // per-row file create/delete that serializes badly once the authoring
+    // map runs 32-wide (observed 0.7 s -> 4.3 s after the input spread).
+    // The encoder and therefore the emitted PNG bytes are unchanged.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios)
+    finally ios.close()
     bos.toByteArray
   }
 

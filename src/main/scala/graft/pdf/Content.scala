@@ -69,6 +69,15 @@ final class ContentParser(content0: Array[Byte]) {
   }
 
   private def skipSpaces(): Unit = {
+    // Hot loop (runs between every token): advance over the backing array
+    // directly instead of a peek/read virtual-call pair per byte; the
+    // virtual trailing '\n' (pos == data.length) is handled by the cursor
+    // tail loop. Semantics identical.
+    val data = cur.data
+    val dlen = data.length
+    var p = cur.pos
+    while (p < dlen && isWhiteSpace(data(p) & 0xff)) p += 1
+    cur.pos = p
     while (!cur.atEof && isWhiteSpace(cur.peekByte)) cur.readByte()
   }
 
@@ -117,9 +126,33 @@ final class ContentParser(content0: Array[Byte]) {
 
   private def parseNumber(): PdfObj = ObjLexer.parseNumberFrom(cur)
 
-  /** parser.go:255-335. */
+  /** parser.go:255-335. The FAST PATH covers the dominant case — a literal
+    * string with no escape and no nested '(' closed before EOF: one scan
+    * over the backing array + one copy, instead of a peek/read/BAOS-write
+    * triple (each a virtual call, BAOS also synchronized) per byte. Strings
+    * are most of a text-bearing content stream's bytes, so this is the
+    * single hottest loop of extraction. Any '\\' or '(' before the close
+    * falls back to the original byte-at-a-time loop UNMOVED from cur.pos —
+    * semantics (nesting, octal/named escapes, EOF-exit) are byte-identical.
+    */
   private def parseString(): PdfStr = {
     cur.readByte()
+    val data = cur.data
+    val dlen = data.length
+    val start = cur.pos
+    var i = start
+    var end = -1
+    var simple = true
+    while (simple && end < 0 && i < dlen) {
+      val c = data(i)
+      if (c == '\\' || c == '(') simple = false
+      else if (c == ')') end = i
+      i += 1
+    }
+    if (simple && end >= 0) {
+      cur.pos = end + 1
+      return new PdfStr(java.util.Arrays.copyOfRange(data, start, end))
+    }
     val r = new ByteArrayOutputStream()
     var count = 1
     while (true) {
@@ -258,15 +291,26 @@ final class ContentParser(content0: Array[Byte]) {
     * mid-operand drops the operand (clean stream end).
     */
   private def parseOperand(): PdfStr = {
-    val bytes = new ByteArrayOutputStream()
+    // Direct span scan over the backing array (one copy, no BAOS); the
+    // virtual trailing '\n' at pos == data.length is whitespace and
+    // terminates the operand exactly like the original loop. A true EOF
+    // (pos == size, only possible without the virtual byte) still EOF-exits.
+    val data = cur.data
+    val dlen = data.length
+    val start = cur.pos
+    var p = start
     var done = false
     while (!done) {
-      val b = cur.peekByte
-      if (b == -1) eofExit()
-      if (isDelimiter(b) || isWhiteSpace(b)) done = true
-      else bytes.write(cur.readByte())
+      // peekAt is relative to cur.pos (== start here): covers the virtual
+      // trailing '\n' (whitespace -> terminates) and true EOF (-1).
+      val c = if (p < dlen) data(p) & 0xff else cur.peekAt(p - start)
+      if (c == -1) eofExit()
+      if (isDelimiter(c) || isWhiteSpace(c)) done = true
+      else p += 1
     }
-    new PdfStr(bytes.toByteArray)
+    val out = java.util.Arrays.copyOfRange(data, start, math.min(p, dlen))
+    cur.pos = p
+    new PdfStr(out)
   }
 
   /** parser.go:521-591. Returns (object, isOperand). */

@@ -124,7 +124,12 @@ object Filters {
       if ((cmf & 0x0f) != 8) throw new PdfError("flate: invalid compression method")
       if (((cmf << 8) | flg) % 31 != 0) throw new PdfError("flate: invalid header checksum")
       if ((flg & 0x20) != 0) throw new PdfError("flate: preset dictionary unsupported")
-      val inf = new Inflater(true)
+      // Per-task REUSED inflater (ThreadLocal + reset): constructing an
+      // Inflater per stream pays a native zlib inflateInit/End round trip
+      // per document in the extraction hot path; reset() restores the
+      // identical initial state, so decoded bytes are unchanged.
+      val inf = Filters.sharedInflater.get()
+      inf.reset()
       inf.setInput(data, 2, data.length - 2)
       val out = new ByteArrayOutputStream(math.max(64, data.length * 3))
       val buf = new Array[Byte](8192)
@@ -139,7 +144,7 @@ object Filters {
         out.write(buf, 0, math.max(n, 0))
       } catch {
         case _: java.util.zip.DataFormatException => // corrupt mid-stream: partial, no error
-      } finally inf.end()
+      } finally inf.reset() // release the (possibly large) retained input ref
       out.toByteArray
     }
 
@@ -621,13 +626,14 @@ object Filters {
         throw new PdfError("DCT decode failed: unknown color model: 4-component " +
           "JPEG doesn't have Adobe APP14 metadata")
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
-      // NB the ImageInputStream must be closed explicitly: with the default
-      // useCache=true it is file-backed, and reader.dispose() does NOT close
-      // it — leaking an fd + temp file per image in the extraction hot path.
+      // MEMORY-cached stream, explicitly closed: the payload is already a
+      // byte array, so the default file-backed createImageInputStream would
+      // only add a temp-file create/delete (and fd) per image — pure I/O
+      // overhead that also contends across a 32-wide extraction stage.
       var iis: javax.imageio.stream.ImageInputStream = null
       val raster =
         try {
-          iis = javax.imageio.ImageIO.createImageInputStream(
+          iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(data))
           reader.setInput(iis)
           reader.readRaster(0, null)
@@ -674,9 +680,17 @@ object Filters {
     def decodeBytes(data: Array[Byte]): Array[Byte] = {
       val (nComp, transform) = jpegMeta(data)
       if (nComp == 4) return decodeCmyk(data, transform)
+      // ImageIO.read(InputStream) internally builds a FILE-cached image
+      // stream (useCache default) — a temp file per decoded JPEG; hand it a
+      // memory-cached stream instead (the bytes are already in memory) and
+      // close it explicitly (the ImageIO.read(ImageInputStream) overload
+      // closes it too, but only on the non-throwing path).
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(data))
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+        try javax.imageio.ImageIO.read(iis)
         catch { case e: Exception => throw new PdfError(s"DCT decode failed: ${e.getMessage}") }
+        finally { try iis.close() catch { case _: Exception => () } }
       if (img == null) throw new PdfError("DCT decode failed: no image")
       val w = img.getWidth
       val h = img.getHeight
@@ -801,14 +815,28 @@ object Filters {
   def decodeStream(stream: PdfStream, resolve: PdfObj => PdfObj): Array[Byte] =
     forStream(stream, resolve).decodeStream(stream.raw)
 
-  /** Standalone flate (zlib) encode for fixture builders. */
+  /** Standalone flate (zlib) encode for fixture builders. Deflater reused
+    * per thread (native deflateInit per call is the expensive part of
+    * encoding small payloads); reset() restores identical initial state, so
+    * the emitted zlib bytes are unchanged.
+    */
   def flateEncode(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater()
+    val d = sharedDeflater.get()
+    d.reset()
     d.setInput(data); d.finish()
-    val out = new ByteArrayOutputStream()
+    val out = new ByteArrayOutputStream(math.max(64, data.length / 3))
     val buf = new Array[Byte](8192)
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
+    d.reset() // drop the retained input reference
     out.toByteArray
   }
+
+  /** Thread-pinned codec instances (Spark executor threads are a bounded
+    * pool; each holds one native zlib stream each way). Never end()'d —
+    * reclaimed by the JDK cleaner with the thread.
+    */
+  private[pdf] val sharedInflater: ThreadLocal[Inflater] =
+    ThreadLocal.withInitial(() => new Inflater(true))
+  private val sharedDeflater: ThreadLocal[Deflater] =
+    ThreadLocal.withInitial(() => new Deflater())
 }

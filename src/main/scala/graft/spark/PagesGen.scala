@@ -61,8 +61,13 @@ object PagesGen {
   private def gen(spark: SparkSession, sfDir: String, prefix: String)(
       payload: (Long, String) => Array[Byte]): Dataset[PageRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text", "lang")
+    // documents.parquet is one small file = ONE scan partition; without the
+    // adaptive spread the payload builder (and everything the caller chains
+    // after it — rewrite, extraction) serializes on a single core. No-op
+    // when the scan already yields >= defaultParallelism splits.
+    TableIO.spreadScan(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "lang"), "doc_id")
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
         PageRow(f"https://fixtures.test/$prefix%s-$id%06d",

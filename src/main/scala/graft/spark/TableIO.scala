@@ -76,6 +76,32 @@ object TableIO {
     }.sum
   }
 
+  /** Input-skew guard for per-row KERNEL stages (optimization guide §2.5
+    * "one huge unsplittable file ... repartition immediately after the
+    * read"): a small single-file parquet scan yields ONE partition, so an
+    * expensive map/flatMap/UDF planted directly on it serializes on one
+    * core while the rest of the session idles. When the scan's partition
+    * count is below the session parallelism, hash-spread the rows across
+    * `defaultParallelism` partitions; otherwise (the 100-TB case — any real
+    * table scans as thousands of splits) this is a NO-OP, so the added
+    * exchange never ships payload bytes at scale. Spread by `keyCol` when
+    * given (deterministic hash partitioning — no sort-before-repartition
+    * pass, stable under retries per SPARK-38388's determinism concern);
+    * round-robin otherwise. Row-level results are partitioning-invariant,
+    * so downstream queries (all ORDER BY'd) are byte-identical either way.
+    */
+  def spreadScan(df: DataFrame, keyCol: String = null): DataFrame = {
+    // Operational escape hatch (also the A/B lever for measurement): the
+    // spread only pays off when the downstream per-row work outweighs the
+    // extra exchange + task-scheduling cost, which callers assess per site.
+    if (df.sparkSession.conf.getOption("spark.graft.spreadScan").contains("off"))
+      return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keyCol != null) df.repartition(target, col(keyCol))
+    else df.repartition(target)
+  }
+
   def currentSnapshot(warehouse: String): Option[Snapshot] = {
     val hint = hintFile(warehouse)
     if (!Files.exists(hint)) return None
