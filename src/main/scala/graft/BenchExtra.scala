@@ -136,6 +136,25 @@ object BenchExtra {
           println(f"""{"micro":"rot_v$variant","n":${sub.length},"build_s":$tBuild%.3f,"extract_s":$tExtract%.3f,"rewrite_extract_s":$tRewrite%.3f}""")
         }
 
+      case "corpusparts" =>
+        import spark.implicits._
+        val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "20").toInt
+        val ds = PagesGen.pagesBench(spark, sfDir, replicas)
+        // warm
+        ds.toDF().write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        val stats = ds.mapPartitions { it =>
+          val s = System.currentTimeMillis()
+          var n = 0L
+          var bytes = 0L
+          while (it.hasNext) { val r = it.next(); n += 1; bytes += r.html.length }
+          Iterator.single((org.apache.spark.TaskContext.getPartitionId(), n, bytes,
+            System.currentTimeMillis() - s))
+        }.collect()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val times = stats.map(_._4)
+        println(f"""{"corpusparts_wall":$wall%.3f,"parts":${stats.length},"rows":${stats.map(_._2).sum},"bytes":${stats.map(_._3).sum},"task_ms_min":${times.min},"task_ms_med":${times.sorted.apply(times.length / 2)},"task_ms_max":${times.max},"task_ms_sum":${times.sum}}""")
+
       case "kernel" =>
         // Single-threaded phase profile of the extraction kernel over the
         // bench-corpus payload shapes, with JIT warmup: where does a

@@ -470,19 +470,29 @@ object Similarity {
         .toDF("query_id", "neighbor_id", "dot", "rank")
     val lists = c0.length
     val dims = c0(0).length
-    // One Lloyd step: per-cell per-dim integer sums + counts (nLists x dims
-    // rows after a map-side-combined agg), then floorDiv centroids.
-    val aggCols = count(lit(1)).as("cnt") +:
-      (0 until dims).map(d => sum(element_at(col("qv"), d + 1)).as(s"s$d"))
-    val cellStats = quant.withColumn("c0", nearest(c0)(col("qv")))
-      .groupBy("c0").agg(aggCols.head, aggCols.tail: _*)
-      .collect().map(r => r.getInt(0) ->
-        (r.getLong(1), Array.tabulate(dims)(d => r.getLong(d + 2)))).toMap
+    // One Lloyd step: per-cell per-dim integer sums + counts. NARROW shape —
+    // posexplode to (cell, dim, value) rows and one 3-column aggregation —
+    // instead of a dims-wide agg of `sum(element_at(qv, d))` columns: the
+    // wide form generated 1 + dims aggregate expressions whose whole-stage
+    // codegen compile dominated the query's wall time (guide §1.2 step 2 —
+    // this is planning/compile cost, not data cost; the grouped row count
+    // is nLists x dims either way, map-side combined). Sums are identical
+    // integers, so the stepped centroids — and the oracle hash — are
+    // unchanged.
+    val cellRows = quant.withColumn("c0", nearest(c0)(col("qv")))
+      .select(col("c0"), posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy("c0", "d").agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+      .collect()
+    val cellCnt = new Array[Long](lists)
+    val cellSums = Array.fill(lists)(new Array[Long](dims))
+    for (r <- cellRows) {
+      val ci = r.getInt(0)
+      cellCnt(ci) = r.getLong(2) // same count for every dim of the cell
+      cellSums(ci)(r.getInt(1)) = r.getLong(3)
+    }
     val c1: Array[Array[Long]] = Array.tabulate(lists) { ci =>
-      cellStats.get(ci) match {
-        case Some((cnt, sums)) => sums.map(s => Math.floorDiv(s, cnt))
-        case None => c0(ci) // empty cell keeps its initial centroid
-      }
+      if (cellCnt(ci) > 0) cellSums(ci).map(s => Math.floorDiv(s, cellCnt(ci)))
+      else c0(ci) // empty cell keeps its initial centroid
     }
     val assigned = quant.withColumn("list_id", nearest(c1)(col("qv")))
 
