@@ -189,6 +189,18 @@ object BenchExtra {
           val bytes = built.map(_.length.toLong).sum
           println(f"""{"kernel":"v$variant","n":${built.length},"extract_all_s":$tAll%.3f,"open_s":$tOpen%.3f,"content_s":$tContent%.3f,"extracttext_s":$tExtract%.3f,"bytes":$bytes}""")
         }
+        // html split: decode vs block extraction vs full Extract
+        {
+          val payloads = docs.map { case (id, text) =>
+            graft.fixtures.PdfFixtures.htmlMultiPara(
+              (0 until 40).map(k => s"[p$k r0 d$id] $text"))
+          }
+          def rep(f: => Unit): Double = { f; f; timed(f) }
+          val tDecode = rep { payloads.foreach(p => graft.html.HtmlExtract.extract(p)) }
+          val tFull = rep { payloads.foreach(p => Extract(p)) }
+          println(f"""{"kernel":"htmlsplit","htmlextract_s":$tDecode%.3f,"full_s":$tFull%.3f}""")
+        }
+
         // open split: file parser (xref+trailer) vs full model load (v0)
         {
           val payloads = docs.map { case (id, text) =>
@@ -274,6 +286,8 @@ object BenchExtra {
       case "plan" =>
         val name = args(1)
         val outFile = args(2)
+        if (args.length > 3 && args(3) == "nospread")
+          spark.conf.set("spark.graft.spreadScan", "off")
         val fn = SparkEntry.queries(name)
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(

@@ -193,6 +193,45 @@ object HtmlExtract {
       current.boilerplate = current.boilerplate || boilerDepth > 0
     }
 
+    /** Text-run fast path over [from, until) of the source: no substring
+      * allocation and whole non-whitespace spans appended in bulk. Entity-
+      * bearing runs and title text fall back to appendText — state updates
+      * (pendingWs, started, linkChars) are identical per character.
+      */
+    def appendRun(src: String, from: Int, until: Int): Unit = {
+      if (inTitle) { appendText(src.substring(from, until)); return }
+      val amp = src.indexOf('&', from)
+      if (amp >= 0 && amp < until) { appendText(src.substring(from, until)); return }
+      var started = current.sb.nonEmpty
+      var k = from
+      while (k < until) {
+        val c = src.charAt(k)
+        if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0x0b) {
+          pendingWs = true
+          k += 1
+        } else {
+          if (pendingWs && started) {
+            current.sb.append(' ')
+            if (linkDepth > 0) current.linkChars += 1
+          }
+          var e = k + 1
+          while (e < until && {
+            val d = src.charAt(e)
+            d != ' ' && d != '\t' && d != '\r' && d != '\n' && d != '\f' && d != 0x0b
+          }) e += 1
+          // java.lang.StringBuilder overload (CharSequence, from, until) —
+          // the scala wrapper would resolve (src, k, e) to append(Any).
+          current.sb.underlying.append(src, k, e)
+          if (linkDepth > 0) current.linkChars += e - k
+          started = true
+          pendingWs = false
+          k = e
+        }
+      }
+      current.inContent = current.inContent || contentDepth > 0
+      current.boilerplate = current.boilerplate || boilerDepth > 0
+    }
+
     var polls = 0
     while (i < n) {
       polls += 1
@@ -290,7 +329,7 @@ object HtmlExtract {
       } else {
         val next = html.indexOf('<', i)
         val end = if (next < 0) n else next
-        appendText(html.substring(i, end))
+        appendRun(html, i, end)
         i = end
       }
     }
