@@ -444,26 +444,31 @@ object Dedup {
         }
       }
     // SIZE-ADAPTIVE: a near-dup graph is tiny relative to its corpus (edges
-    // only between verified near-dups). The input pairs are materialized
-    // ONCE; when they fit the driver comfortably, union-find closes the
-    // components in one collect instead of paying join+checkpoint+count
-    // round-trips per propagation round (and skips the symmetric-union
-    // distinct shuffle entirely — union-find tolerates duplicate edges).
-    // The distributed loop below is unchanged for genuinely huge dup
-    // graphs. Ids are normalized to LONG up front so integer id columns
-    // take the same paths (collect and join alike).
-    val (rawPairs, rawRdds) = ckpt(
-      pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
-    val pairCount = rawPairs.count() // one cheap job over checkpoint blocks
-    if (2 * pairCount <= maxDriverEdges) {
-      import org.apache.spark.sql.Encoders
-      val collected = rawPairs.as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-        .collect() // primitive-friendly tuples, not GenericRows
-      release(rawRdds)
+    // only between verified near-dups). When the pairs fit the driver
+    // comfortably, union-find closes the components in ONE limit-probed
+    // collect — collecting maxDriverEdges/2 + 1 rows either returns the
+    // complete edge list (strictly fewer rows than the probe limit ⇔ the
+    // old 2*count <= maxDriverEdges test) or proves the graph is big. This
+    // replaces the former checkpoint + count + collect triple (three jobs)
+    // with one job in the common small case; the distributed loop below is
+    // unchanged for genuinely huge dup graphs (it checkpoints the pairs
+    // itself, paying one recompute of the pair pipeline — at that scale
+    // the iterative rounds dominate it anyway). Union-find is order- and
+    // duplicate-insensitive, so which rows limit() surfaces is irrelevant.
+    // Ids are normalized to LONG up front so integer id columns take the
+    // same paths (collect and join alike).
+    val norm = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val probeLimit = (maxDriverEdges / 2 + 1).toInt
+    import org.apache.spark.sql.Encoders
+    val probe = norm.limit(probeLimit)
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .collect() // primitive-friendly tuples, not GenericRows
+    if (probe.length < probeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      return spark.createDataset(unionFindLabels(collected).toSeq).toDF("id", "label")
+      return spark.createDataset(unionFindLabels(probe).toSeq).toDF("id", "label")
     }
+    val (rawPairs, rawRdds) = ckpt(norm)
     val (edges, edgeRdds) = ckpt(
       rawPairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(rawPairs.select(col("b").as("src"), col("a").as("dst")))

@@ -68,7 +68,7 @@ final class PdfCrypt private[pdf] (
 
   /** Algorithm 2: file encryption key (crypt.go:1223-1264). */
   def alg2(pass: Array[Byte]): Array[Byte] = {
-    val h = MessageDigest.getInstance("MD5")
+    val h = CryptoPool.md5()
     h.update(padded(pass))
     h.update(o)
     val pb = new Array[Byte](4)
@@ -82,7 +82,7 @@ final class PdfCrypt private[pdf] (
     if (r >= 3) {
       var k = 0
       while (k < 50) {
-        val h2 = MessageDigest.getInstance("MD5")
+        val h2 = CryptoPool.md5()
         h2.update(hashb, 0, length / 8)
         hashb = h2.digest()
         k += 1
@@ -93,13 +93,13 @@ final class PdfCrypt private[pdf] (
 
   /** alg3Key (crypt.go:1267-1289). */
   private def alg3Key(pass: Array[Byte]): Array[Byte] = {
-    var h = MessageDigest.getInstance("MD5")
+    var h = CryptoPool.md5()
     h.update(padded(pass))
     if (r >= 3) {
       var i = 0
       while (i < 50) {
         val hashb = h.digest()
-        h = MessageDigest.getInstance("MD5")
+        h = CryptoPool.md5()
         h.update(hashb)
         i += 1
       }
@@ -118,7 +118,7 @@ final class PdfCrypt private[pdf] (
   /** Algorithm 5 (R>=3 U value; only the first 16 bytes matter for auth). */
   private[pdf] def alg5(upass: Array[Byte]): (Array[Byte], Array[Byte]) = {
     val ekey = alg2(upass)
-    val h = MessageDigest.getInstance("MD5")
+    val h = CryptoPool.md5()
     h.update(PasswordPadding)
     h.update(id0)
     var encrypted = rc4(ekey, h.digest())
@@ -199,7 +199,7 @@ final class PdfCrypt private[pdf] (
   }
 
   private def alg2bHash(data: Array[Byte], pwd: Array[Byte], userKey: Array[Byte]): Array[Byte] =
-    if (r == 5) MessageDigest.getInstance("SHA-256").digest(data)
+    if (r == 5) CryptoPool.sha256().digest(data)
     else alg2bR6(data, pwd, if (userKey == null) Array.emptyByteArray else userKey)
 
   /** Algorithm 11: user password validation hash (R>=5). */
@@ -219,7 +219,7 @@ final class PdfCrypt private[pdf] (
   /** Algorithm 13 (R6): validate Perms against P + EncryptMetadata. */
   private def alg13(fkey: Array[Byte]): Boolean = {
     val perms = java.util.Arrays.copyOf(permsBytes, 16)
-    val cipher = Cipher.getInstance("AES/ECB/NoPadding")
+    val cipher = CryptoPool.aesEcbNoPad()
     cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(java.util.Arrays.copyOf(fkey, 32), "AES"))
     val dec = cipher.doFinal(perms)
     if (!(dec(9) == 'a' && dec(10) == 'd' && dec(11) == 'b'))
@@ -255,7 +255,7 @@ final class PdfCrypt private[pdf] (
         while (i < 2) { key(ekey.length + 3 + i) = ((genNum >> (8 * i)) & 0xff).toByte; i += 1 }
         if (isAes) { key(ekey.length + 5) = 0x73; key(ekey.length + 6) = 0x41
           key(ekey.length + 7) = 0x6c; key(ekey.length + 8) = 0x54 }
-        val hashb = MessageDigest.getInstance("MD5").digest(key)
+        val hashb = CryptoPool.md5().digest(key)
         if (ekey.length + 5 < 16) java.util.Arrays.copyOf(hashb, ekey.length + 5) else hashb
       case "" => null // identity
       case other => throw new PdfError(s"unsupported crypt filter: $other")
@@ -410,14 +410,14 @@ object PdfCrypt {
   }
 
   def aesCbcDecryptNoStrip(okey: Array[Byte], iv: Array[Byte], body: Array[Byte]): Array[Byte] = {
-    val cipher = Cipher.getInstance("AES/CBC/NoPadding")
+    val cipher = CryptoPool.aesCbcNoPad()
     cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(okey, "AES"), new IvParameterSpec(iv))
     cipher.doFinal(body)
   }
 
   /** Algorithm 2.B hash for R6 (crypt.go:1144-1221). */
   def alg2bR6(data: Array[Byte], pwd: Array[Byte], userKey: Array[Byte]): Array[Byte] = {
-    var K = MessageDigest.getInstance("SHA-256").digest(data)
+    var K = CryptoPool.sha256().digest(data)
     var i = 0
     var done = false
     var lastE: Array[Byte] = null
@@ -435,7 +435,7 @@ object PdfCrypt {
         bp *= 2
       }
       // step b: AES-128-CBC encrypt with key K[0:16], iv K[16:32]
-      val cipher = Cipher.getInstance("AES/CBC/NoPadding")
+      val cipher = CryptoPool.aesCbcNoPad()
       cipher.init(Cipher.ENCRYPT_MODE,
         new SecretKeySpec(java.util.Arrays.copyOf(K, 16), "AES"),
         new IvParameterSpec(java.util.Arrays.copyOfRange(K, 16, 32)))
@@ -446,9 +446,9 @@ object PdfCrypt {
       var t = 0
       while (t < 16) { b += (e(t) & 0xff) % 3; t += 1 }
       val md = (b % 3) match {
-        case 0 => MessageDigest.getInstance("SHA-256")
-        case 1 => MessageDigest.getInstance("SHA-384")
-        case _ => MessageDigest.getInstance("SHA-512")
+        case 0 => CryptoPool.sha256()
+        case 1 => CryptoPool.sha384()
+        case _ => CryptoPool.sha512()
       }
       K = md.digest(e)
       i += 1

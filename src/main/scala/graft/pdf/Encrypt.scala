@@ -24,7 +24,7 @@ object PdfEncrypt {
   }
 
   private def md5(parts: Array[Byte]*): Array[Byte] = {
-    val h = MessageDigest.getInstance("MD5")
+    val h = CryptoPool.md5()
     parts.foreach(h.update)
     h.digest()
   }
@@ -34,7 +34,7 @@ object PdfEncrypt {
     */
   def alg2Key(upass: Array[Byte], o: Array[Byte], p: Int, id0: Array[Byte],
               r: Int, lengthBits: Int, encryptMetadata: Boolean = true): Array[Byte] = {
-    val h = MessageDigest.getInstance("MD5")
+    val h = CryptoPool.md5()
     h.update(padded(upass))
     h.update(o)
     val pb = new Array[Byte](4)
@@ -48,7 +48,7 @@ object PdfEncrypt {
     if (r >= 3) {
       var k = 0
       while (k < 50) {
-        val h2 = MessageDigest.getInstance("MD5")
+        val h2 = CryptoPool.md5()
         h2.update(hashb, 0, lengthBits / 8)
         hashb = h2.digest()
         k += 1
@@ -62,7 +62,7 @@ object PdfEncrypt {
     */
   def alg3O(opass: Array[Byte], upass: Array[Byte], r: Int, lengthBits: Int): Array[Byte] = {
     // owner key: MD5(padded(opass)); R>=3: 50x MD5 over the FULL digest.
-    var h = MessageDigest.getInstance("MD5")
+    var h = CryptoPool.md5()
     h.update(padded(opass))
     var digest = h.digest()
     if (r >= 3) {
@@ -114,7 +114,7 @@ object PdfEncrypt {
       key(ekey.length + 5) = 0x73; key(ekey.length + 6) = 0x41
       key(ekey.length + 7) = 0x6c; key(ekey.length + 8) = 0x54
     }
-    val hashb = MessageDigest.getInstance("MD5").digest(key)
+    val hashb = CryptoPool.md5().digest(key)
     if (ekey.length + 5 < 16) java.util.Arrays.copyOf(hashb, ekey.length + 5) else hashb
   }
 
@@ -122,7 +122,7 @@ object PdfEncrypt {
     * layout aesCbcDecrypt strips).
     */
   def aesEncrypt(okey: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val cipher = Cipher.getInstance("AES/CBC/PKCS5Padding")
+    val cipher = CryptoPool.aesCbcPkcs5()
     cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(okey, "AES"), new IvParameterSpec(iv))
     val body = cipher.doFinal(data)
     val out = new Array[Byte](16 + body.length)
@@ -150,11 +150,11 @@ object PdfEncrypt {
     import PdfCrypt.alg2bR6
     require(fileKey.length == 32)
     def aesNoPad(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      val c = CryptoPool.aesCbcNoPad()
       c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
       c.doFinal(data)
     }
-    val salts = MessageDigest.getInstance("SHA-256").digest(saltSeed) // 32 deterministic bytes
+    val salts = CryptoPool.sha256().digest(saltSeed) // 32 deterministic bytes
     val uv = java.util.Arrays.copyOfRange(salts, 0, 8)   // user validation salt
     val uk = java.util.Arrays.copyOfRange(salts, 8, 16)  // user key salt
     val ov = java.util.Arrays.copyOfRange(salts, 16, 24) // owner validation salt
@@ -174,7 +174,7 @@ object PdfEncrypt {
     perms(8) = (if (encryptMetadata) 'T' else 'F').toByte
     perms(9) = 'a'; perms(10) = 'd'; perms(11) = 'b'
     System.arraycopy(salts, 0, perms, 12, 4) // random-ish tail
-    val ecb = Cipher.getInstance("AES/ECB/NoPadding")
+    val ecb = CryptoPool.aesEcbNoPad()
     ecb.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(fileKey, "AES"))
     val permsEnc = ecb.doFinal(perms)
     (u, ue, o, oe, permsEnc)

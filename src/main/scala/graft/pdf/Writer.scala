@@ -223,7 +223,7 @@ object PdfWriter {
                                  seed: String = "graft")
 
   private def md5(parts: Array[Byte]*): Array[Byte] = {
-    val h = java.security.MessageDigest.getInstance("MD5")
+    val h = CryptoPool.md5()
     parts.foreach(h.update)
     h.digest()
   }
