@@ -1020,16 +1020,41 @@ object PdfFixtures {
     }
   }
 
-  /** Multi-paragraph HTML page (one <p> per line inside <article>). */
+  /** Multi-paragraph HTML page (one <p> per line inside <article>).
+    * Assembled as UTF-8 bytes directly (UTF-8 is concatenation-safe per
+    * code point, so piecewise encoding equals encoding the joined string —
+    * output bytes identical to the old interpolation, without the
+    * intermediate page-sized strings in the corpus-build hot path).
+    */
   def htmlMultiPara(lines: Seq[String]): Array[Byte] = {
-    val ps = lines.map(l => s"<p>${escapeHtml(l)}</p>").mkString("\n")
-    s"<html><body><article>$ps</article></body></html>".getBytes(UTF_8)
+    val out = new ByteArrayOutputStream(64 + lines.iterator.map(_.length + 8).sum)
+    def w(s: String): Unit = { val b = s.getBytes(UTF_8); out.write(b, 0, b.length) }
+    w("<html><body><article>")
+    var first = true
+    for (l <- lines) {
+      if (!first) out.write('\n')
+      w("<p>"); w(escapeHtml(l)); w("</p>")
+      first = false
+    }
+    w("</article></body></html>")
+    out.toByteArray
   }
 
   // ------------------------------------------------------------------- html
 
-  def escapeHtml(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  def escapeHtml(s: String): String = {
+    // fast guard: the common fixture text has nothing to escape — skip the
+    // three chained replace passes (each a full scan + fresh string)
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&' || c == '<' || c == '>') clean = false
+      i += 1
+    }
+    if (clean) s
+    else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  }
 
   /** h01-style page: title + paragraphs in <article>, nav/footer boilerplate. */
   def htmlPage(title: String, paragraphs: Seq[String]): Array[Byte] = {
