@@ -620,16 +620,53 @@ final class PdfFileParser(val data: Array[Byte]) {
     * handling and the next-xref-offset length correction.
     */
   def parseIndirectObject(): PdfObj = {
-    val bb = str(cur.peek(20))
-    val m = indirectObject.matcher(bb)
-    if (!m.find()) throw new PdfError("Unable to detect indirect object signature")
-    cur.discard(m.start()) // tolerate a small offset
-    val hlen = m.end() - m.start()
-    val hb = str(cur.readExact(hlen))
-    val m2 = indirectObject.matcher(hb)
-    if (!m2.find()) throw new PdfError("Unable to detect indirect object signature")
-    val objNum = m2.group(1).toLong
-    val genNum = m2.group(2).toLong
+    // FAST PATH: "N G obj" matched directly at the cursor within the same
+    // 20-byte window the regex sees (xref offsets point straight at the
+    // header in well-formed files) — skips two matcher runs + two window
+    // copies per object. Any deviation (leading offset, overlong header)
+    // falls back to the regex path with identical accept/reject behavior.
+    var objNum = -1L
+    var genNum = -1L
+    locally {
+      val data = cur.data
+      val win = math.min(cur.pos + 20, data.length)
+      var p = cur.pos
+      // the regex's \s class ([\t\n\f\r ]) — narrower than the PDF
+      // whitespace set (no NUL); keep them identical so accept/reject
+      // matches the fallback bit-for-bit
+      def rws(c: Int): Boolean =
+        c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
+      var n1 = -1L
+      while (p < win && isDecimalDigit(data(p) & 0xff)) {
+        n1 = (if (n1 < 0) 0 else n1) * 10 + (data(p) - '0'); p += 1
+      }
+      if (n1 >= 0 && p < win && rws(data(p) & 0xff)) {
+        while (p < win && rws(data(p) & 0xff)) p += 1
+        var n2 = -1L
+        while (p < win && isDecimalDigit(data(p) & 0xff)) {
+          n2 = (if (n2 < 0) 0 else n2) * 10 + (data(p) - '0'); p += 1
+        }
+        if (n2 >= 0 && p < win && rws(data(p) & 0xff)) {
+          while (p < win && rws(data(p) & 0xff)) p += 1
+          if (p + 3 <= win && data(p) == 'o' && data(p + 1) == 'b' && data(p + 2) == 'j') {
+            objNum = n1; genNum = n2
+            cur.pos = p + 3
+          }
+        }
+      }
+    }
+    if (objNum < 0) {
+      val bb = str(cur.peek(20))
+      val m = indirectObject.matcher(bb)
+      if (!m.find()) throw new PdfError("Unable to detect indirect object signature")
+      cur.discard(m.start()) // tolerate a small offset
+      val hlen = m.end() - m.start()
+      val hb = str(cur.readExact(hlen))
+      val m2 = indirectObject.matcher(hb)
+      if (!m2.find()) throw new PdfError("Unable to detect indirect object signature")
+      objNum = m2.group(1).toLong
+      genNum = m2.group(2).toLong
+    }
     var inner: PdfObj = null
 
     while (true) {

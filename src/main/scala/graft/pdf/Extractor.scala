@@ -27,7 +27,11 @@ object TextExtractor {
 
   /** Modern extractor over one page's joined content streams. */
   def extractText(content: Array[Byte], resources: PdfResources): PageExtract = {
-    val buf = new ByteArrayOutputStream()
+    // Presized to the content length (output text is bounded by ~the string
+    // bytes of the stream): avoids the default-32-byte buffer's ~9 growth
+    // doublings (~2x the text in copy traffic) per page. Capped so a huge
+    // image-bearing stream doesn't over-allocate for a few text bytes.
+    val buf = new ByteArrayOutputStream(math.max(64, math.min(content.length, 1 << 20)))
     val operations =
       try new ContentParser(content).parse()
       catch {

@@ -49,9 +49,18 @@ final class ObjLexer(val cur: ByteCursor) {
   }
   private def leave(): Unit = depth -= 1
 
-  /** pdf/core/parser.go:74-90 (EOF here surfaces at the next peek). */
+  /** pdf/core/parser.go:74-90 (EOF here surfaces at the next peek). Runs
+    * between every file-layer token: advance over the backing array
+    * directly, with the cursor loop handling any virtual tail byte.
+    */
   def skipSpaces(): Int = {
-    var cnt = 0
+    val data = cur.data
+    val dlen = data.length
+    val start = cur.pos
+    var p = start
+    while (p < dlen && isWhiteSpace(data(p) & 0xff)) p += 1
+    cur.pos = p
+    var cnt = p - start
     var b = cur.readByte()
     while (b != -1 && isWhiteSpace(b)) { cnt += 1; b = cur.readByte() }
     if (b != -1) cur.unreadByte()
