@@ -264,6 +264,19 @@ object BenchExtra {
           println(s"""{"abq":"$name","off":${fmt(offs)},"on":${fmt(ons)},"min_off":${f"${offs.min}%.3f"},"min_on":${f"${ons.min}%.3f"}}""")
         }
 
+      case "mh" =>
+        // minhash pipeline phase decomposition (warm, 2 reps each)
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        def rep(f: => Unit): Double = { f; timed(f) }
+        val tCand = rep(noop(graft.ops.Dedup.minhashCandidatePairs(docs)))
+        val tPairs = rep(noop(graft.ops.Dedup.minhashDupPairs(spark, docs)))
+        val tGroups = rep(noop(graft.ops.Dedup.minhashDupGroupsCC(spark, docs)
+          .orderBy("doc_id")))
+        // signature stage alone: fused UDF to noop (no banding joins)
+        val tSig = rep(noop(graft.ops.Dedup.withMinhash(docs).select("doc_id", "mh_bands")))
+        println(f"""{"mh_sig":$tSig%.3f,"mh_candidates":$tCand%.3f,"mh_pairs":$tPairs%.3f,"mh_groups":$tGroups%.3f}""")
+
       case "ab25" =>
         // A/B the minhash ops with raw (1-partition) vs spread input,
         // interleaved reps to decorrelate machine drift.
