@@ -19,6 +19,34 @@ class DocumentSpec extends AnyFunSuite {
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
   }
 
+  test("parseIndirectObject header: fast path, offset fallback, NUL rejection") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def parserOver(src: String) = new PdfFileParser(src.getBytes(ISO_8859_1))
+    // exact "N G obj" at the cursor (fast path)
+    val p1 = parserOver("7 0 obj\n(hi)\nendobj\n")
+    p1.parseIndirectObject() match {
+      case ind: PdfIndirect =>
+        assert(ind.num == 7 && ind.gen == 0)
+        assert(new String(ind.obj.asInstanceOf[PdfStr].bytes, ISO_8859_1) == "hi")
+      case other => fail(s"unexpected $other")
+    }
+    // small leading junk: the regex fallback tolerates the offset
+    val p2 = parserOver("xx12 0 obj\n<< /A 5 >>\nendobj\n")
+    p2.parseIndirectObject() match {
+      case ind: PdfIndirect =>
+        assert(ind.num == 12)
+        assert(ind.obj.asInstanceOf[PdfDict].get("A") == PdfInt(5))
+      case other => fail(s"unexpected $other")
+    }
+    // NUL-separated header: NUL is PDF whitespace but NOT in the header
+    // pattern's class — must reject exactly like the regex always did
+    val p3 = parserOver("12\u0000 0 obj\n(x)\nendobj\n")
+    assertThrows[PdfError](p3.parseIndirectObject())
+    // ...while ordinary multi-space separation stays accepted
+    val p4 = parserOver("3  0  obj\nnull\nendobj\n")
+    assert(p4.parseIndirectObject().asInstanceOf[PdfIndirect].num == 3)
+  }
+
   test("minimal.pdf: xref offsets and golden text 'Hello World'") {
     refFile("minimal.pdf") match {
       case None => cancel("reference testfiles not available")

@@ -16,6 +16,34 @@ class ExtractorSpec extends AnyFunSuite {
     assert(new String(r.bytes, UTF_8) == "Hello World!\nDoink")
   }
 
+  test("parseString fast-path boundaries: nesting, escapes, unterminated") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def ops(src: String) = new ContentParser(src.getBytes(ISO_8859_1)).parse()
+    // simple literal (fast path): exact bytes, exact cursor placement
+    val p1 = ops("BT (plain text) Tj ET")
+    assert(new String(p1.find(_.operand == "Tj").get
+      .params.head.asInstanceOf[PdfStr].bytes, ISO_8859_1) == "plain text")
+    // nested parens (fallback path): balance tracked, both parens kept
+    val p2 = ops("BT (a (nested) b) Tj ET")
+    assert(new String(p2.find(_.operand == "Tj").get
+      .params.head.asInstanceOf[PdfStr].bytes, ISO_8859_1) == "a (nested) b")
+    // escapes (fallback path): named + octal + dropped-unknown
+    val p3 = ops("BT (x\\n\\052\\q) Tj ET")
+    assert(new String(p3.find(_.operand == "Tj").get
+      .params.head.asInstanceOf[PdfStr].bytes, ISO_8859_1) == "x\n*")
+    // escaped paren then clean close: fallback must resume from the start
+    val p4 = ops("BT (a\\)b) Tj ET")
+    assert(new String(p4.find(_.operand == "Tj").get
+      .params.head.asInstanceOf[PdfStr].bytes, ISO_8859_1) == "a)b")
+    // unterminated literal: clean EOF exit — ops before it survive, the
+    // dangling op is dropped (parser contract, unchanged by the fast scan)
+    val p5 = ops("BT (done) Tj (never closes")
+    assert(p5.map(_.operand) == Seq("BT", "Tj"))
+    // string closing at the very last byte (no trailing content)
+    val p6 = ops("(tail)")
+    assert(p6.isEmpty) // param without operand is dropped at clean EOF
+  }
+
   test("TJ spacing golden (deprecated variant): glaciers sentence") {
     val content = "BT\n\t[(are)-328(h)5(ypothesized)-328(to)-327(in\\003uence)-328(the)-328(stability)-328(of)-328(the)-328(upstream)-327(glaciers,)-328(and)-328(thus)-328(of)-328(the)-328(entire)-327(ice)-328(sheet)]TJ\n\tET"
     val expected = "are hypothesized to in\u0003uence the stability of the upstream glaciers, and thus of the entire ice sheet"
