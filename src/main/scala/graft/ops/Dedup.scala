@@ -730,8 +730,22 @@ object Dedup {
                         threshold: Double = 0.8): DataFrame = {
     // LSH pre-filter via minhash bands (word shingles approximate char
     // overlap well enough for candidate generation), then exact char-ngram
-    // verification.
+    // verification. Like minhashDupPairs, a SIZE prefilter runs before the
+    // text join: per-doc |charNgrams| (the same hashed sets the verifier
+    // compares, so the bound J <= min/max is sound against the verifier's
+    // own arithmetic) costs one UDF pass + an 8-byte column per pair and
+    // prunes pairs whose two texts would otherwise ship into the verify
+    // shuffle only to fail the ratio bound. Strictly conservative: the
+    // surviving pair set is unchanged.
+    val cntU = udf((t: String) => charNgrams(t, n).size)
+    val counts = docs.select(col(idCol).as("cid"), cntU(col(textCol)).as("nh"))
     val candidates = minhashCandidatePairs(docs, idCol, textCol)
+      .select("a", "b")
+      .join(counts.withColumnRenamed("cid", "a").withColumnRenamed("nh", "nha"), "a")
+      .join(counts.withColumnRenamed("cid", "b").withColumnRenamed("nh", "nhb"), "b")
+      .filter(least(col("nha"), col("nhb")).cast("double") >=
+        lit(threshold) * greatest(col("nha"), col("nhb")) - lit(1e-9))
+      .select("a", "b")
     val texts = docs.select(col(idCol).as("tid"), col(textCol).as("ttext"))
     val jac = udf((x: String, y: String) => {
       val sa = charNgrams(x, n); val sb = charNgrams(y, n)

@@ -290,6 +290,37 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("ngram size prefilter never drops a verifying pair") {
+    // Same recipe as the minhash prefilter test, against the CHAR-ngram
+    // verifier: ground truth is the jaccard over the hashed ngram sets of
+    // every unfiltered LSH candidate pair.
+    val toks = (1 to 60).map(i => f"tok$i%02d")
+    def doc(n: Int): String = toks.take(n).mkString(" ")
+    val rows = Seq(
+      1L -> doc(30), 2L -> doc(30), 3L -> doc(33),
+      4L -> doc(10),                       // small subset: size-pruned
+      5L -> (doc(30) + " zz"), 6L -> doc(60))
+    val docs = docsDf(rows)
+    val textOf = rows.toMap
+    val th = 0.6
+    val candidates = Dedup.minhashCandidatePairs(docs)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def jac(a: String, b: String): Double = {
+      val sa = Dedup.charNgrams(a); val sb = Dedup.charNgrams(b)
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else {
+        val i = sa.intersect(sb).size
+        val u = sa.size + sb.size - i
+        if (u == 0) 1.0 else i.toDouble / u
+      }
+    }
+    val expected = candidates.filter { case (a, b) => jac(textOf(a), textOf(b)) >= th }
+    val got = Dedup.ngramJaccardPairs(docs, threshold = th)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(expected.contains((1L, 2L)))
+  }
+
   test("exact dedup survivors (sha2-keyed: shuffle key is the hash, not text)") {
     val docs = docsDf(Seq((5L, "aaa"), (2L, "aaa"), (3L, "bbb")))
     val surv = Dedup.exactSurvivors(docs).collect()
