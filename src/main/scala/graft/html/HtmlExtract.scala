@@ -137,9 +137,21 @@ object HtmlExtract {
     new String(bytes, cs)
   }
 
+  /** A/B lever for the bulk text-run path (interleaved same-JVM comparison;
+    * see OPTIMIZATION_r06.md). Semantics of both paths are identical.
+    */
+  @volatile private[graft] var bulkRuns = true
+
+  @inline private def isWs(c: Char): Boolean =
+    c <= ' ' && (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0x0b)
+
   def extract(html: String): HtmlResult = {
     val n = html.length
     var i = 0
+    // Reusable span buffer for the bulk text-run path: a run's output never
+    // exceeds its input length + 1 (one separator space may lead the run;
+    // every other separator replaces >= 1 whitespace char).
+    var runBuf: Array[Char] = null
 
     var title = ""
     var inTitle = false
@@ -158,8 +170,14 @@ object HtmlExtract {
     var pendingWs = false
 
     def flushBlock(): Unit = {
-      if (current.sb.nonEmpty) blocks += current
-      current = new Block
+      if (current.sb.nonEmpty) { blocks += current; current = new Block }
+      else {
+        // Empty block: reuse the instance instead of allocating — reset the
+        // fields a fresh Block would zero (a fresh one loses any heading /
+        // linkChars state accumulated while empty, so the reset must too).
+        current.linkChars = 0
+        current.heading = false
+      }
       current.inContent = contentDepth > 0
       current.boilerplate = boilerDepth > 0
       pendingWs = false
@@ -204,28 +222,61 @@ object HtmlExtract {
       if (amp >= 0 && amp < until) { appendText(src.substring(from, until)); return }
       var started = current.sb.nonEmpty
       var k = from
-      while (k < until) {
-        val c = src.charAt(k)
-        if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0x0b) {
-          pendingWs = true
-          k += 1
-        } else {
-          if (pendingWs && started) {
-            current.sb.append(' ')
-            if (linkDepth > 0) current.linkChars += 1
+      if (bulkRuns) {
+        // Bulk path: spans are copied into a reusable char buffer
+        // (String.getChars, an intrinsic arraycopy) and the whole run is
+        // appended to the block builder ONCE — a builder call per run, not
+        // per word. State updates (pendingWs, started, linkChars) are
+        // identical per character to the classic loop below.
+        if (runBuf == null || runBuf.length < until - from + 1)
+          runBuf = new Array[Char](math.max(until - from + 1, 256))
+        val buf = runBuf
+        var len = 0
+        while (k < until) {
+          val c = src.charAt(k)
+          if (isWs(c)) {
+            pendingWs = true
+            k += 1
+          } else {
+            if (pendingWs && started) {
+              buf(len) = ' '; len += 1
+              if (linkDepth > 0) current.linkChars += 1
+            }
+            var e = k + 1
+            while (e < until && !isWs(src.charAt(e))) e += 1
+            src.getChars(k, e, buf, len)
+            len += e - k
+            if (linkDepth > 0) current.linkChars += e - k
+            started = true
+            pendingWs = false
+            k = e
           }
-          var e = k + 1
-          while (e < until && {
-            val d = src.charAt(e)
-            d != ' ' && d != '\t' && d != '\r' && d != '\n' && d != '\f' && d != 0x0b
-          }) e += 1
-          // java.lang.StringBuilder overload (CharSequence, from, until) —
-          // the scala wrapper would resolve (src, k, e) to append(Any).
-          current.sb.underlying.append(src, k, e)
-          if (linkDepth > 0) current.linkChars += e - k
-          started = true
-          pendingWs = false
-          k = e
+        }
+        if (len > 0) current.sb.underlying.append(buf, 0, len)
+      } else {
+        while (k < until) {
+          val c = src.charAt(k)
+          if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0x0b) {
+            pendingWs = true
+            k += 1
+          } else {
+            if (pendingWs && started) {
+              current.sb.append(' ')
+              if (linkDepth > 0) current.linkChars += 1
+            }
+            var e = k + 1
+            while (e < until && {
+              val d = src.charAt(e)
+              d != ' ' && d != '\t' && d != '\r' && d != '\n' && d != '\f' && d != 0x0b
+            }) e += 1
+            // java.lang.StringBuilder overload (CharSequence, from, until) —
+            // the scala wrapper would resolve (src, k, e) to append(Any).
+            current.sb.underlying.append(src, k, e)
+            if (linkDepth > 0) current.linkChars += e - k
+            started = true
+            pendingWs = false
+            k = e
+          }
         }
       }
       current.inContent = current.inContent || contentDepth > 0
@@ -335,18 +386,20 @@ object HtmlExtract {
     }
     flushBlock()
 
-    val kept = blocks.toSeq.filter { b =>
-      val text = b.sb.toString
+    val kept = blocks.toSeq.flatMap { b =>
+      val text = b.sb.toString // materialized once (was toString in filter AND map)
       val len = text.length
-      if (b.boilerplate) false
-      else if (b.inContent) true
-      else {
-        val linkDensity = if (len == 0) 0.0 else b.linkChars.toDouble / len
-        if (linkDensity > 0.33) false
-        else if (b.heading) len >= 3
-        else len >= 25
-      }
-    }.map(_.sb.toString)
+      val keep =
+        if (b.boilerplate) false
+        else if (b.inContent) true
+        else {
+          val linkDensity = if (len == 0) 0.0 else b.linkChars.toDouble / len
+          if (linkDensity > 0.33) false
+          else if (b.heading) len >= 3
+          else len >= 25
+        }
+      if (keep) Some(text) else None
+    }
 
     HtmlResult(title.trim, kept)
   }

@@ -175,4 +175,33 @@ class HtmlSpec extends AnyFunSuite {
     val res = HtmlExtract.extract(html)
     assert(res.blocks == Seq("caf\u00e9 \u2014 50\u00a2 \u00a9 r\u00e9sum\u00e9\u2026"))
   }
+
+  test("bulk text-run path is byte-identical to the classic per-span path") {
+    // The r06 bulk appendRun (one builder call per run via a char buffer)
+    // must match the classic loop char-for-char: whitespace collapse,
+    // pendingWs carry across runs ("click <a>here</a>"), link-density
+    // counting, control chars (NOT whitespace), long runs, empty blocks.
+    val cases = Seq(
+      "<p>a  b\tc\nde\ff</p>",
+      "<p> lead</p><p>trail </p><p>\t\n</p>",
+      "<p>click <a href='x'>here</a> now and some more padding text to keep</p>",
+      "<article>insidectrl chars stay</article>",
+      "<div>" + ("word " * 60) + "</div>",
+      "<h1>h</h1><nav>drop me</nav><p></p>",
+      "<title>a\n b </title><body><p>body text long enough to be kept ok yes</p>",
+      "plain text with no tags at all but long enough to keep as a block",
+      "<p>" + ("x" * 4096) + " tail</p>",
+      "<ul><li>one</li><li>two</li></ul><a>linky</a><p>mixed <a>l</a> t</p>")
+    for (html <- cases) {
+      val saved = HtmlExtract.bulkRuns
+      try {
+        HtmlExtract.bulkRuns = true
+        val bulk = HtmlExtract.extract(html)
+        HtmlExtract.bulkRuns = false
+        val classic = HtmlExtract.extract(html)
+        assert(bulk == classic, s"paths diverge on: ${html.take(60)}")
+      } finally HtmlExtract.bulkRuns = saved
+    }
+    assert(HtmlExtract.bulkRuns) // default stays the fast path
+  }
 }
