@@ -125,16 +125,25 @@ object Extract {
     val res = HtmlExtract.extract(payload)
     val text = res.text
     val bytes = text.getBytes(UTF_8)
-    // Span per output line (title counts as line 0 when present).
+    // Span per output line (title counts as line 0 when present). Line
+    // boundaries are found on the ENCODED bytes: UTF-8 never embeds 0x0A
+    // inside a multi-byte sequence, so segments between '\n' bytes are
+    // exactly the per-line byte lengths the old split + re-encode computed
+    // (split("\n", -1) semantics: n newlines -> n+1 segments, trailing
+    // empties kept).
     val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
-    var off = 0L
-    var idx = 0
-    val lines = if (text.isEmpty) Array.empty[String] else text.split("\n", -1)
-    for (line <- lines) {
-      val lb = line.getBytes(UTF_8).length
-      spans += Span(idx, off, off + lb)
-      off += lb + 1 // + the joining '\n'
-      idx += 1
+    if (bytes.length > 0) {
+      var idx = 0
+      var start = 0
+      var i = 0
+      while (i <= bytes.length) {
+        if (i == bytes.length || bytes(i) == '\n') {
+          spans += Span(idx, start.toLong, i.toLong)
+          idx += 1
+          start = i + 1
+        }
+        i += 1
+      }
     }
     ExtractResult(bytes, spans.toSeq, "ok", "")
   }
