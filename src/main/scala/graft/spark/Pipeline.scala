@@ -51,9 +51,13 @@ object Pipeline {
       lineageAcc: CollectionAccumulator[LineageRow] = null,
       timeoutMs: Long = Extract.DefaultTimeoutMs): Dataset[ExtractedRow] = {
     import spark.implicits._
+    // Project to the kernel's columns BEFORE typing the Dataset: the pages
+    // table's text/lang never reach the kernel, so selecting them forced
+    // every extraction scan to decode (and any opt-in repartition to
+    // shuffle) ~12 KB/doc of dead data (guide §6 column pruning).
     val base = pages
-      .select("url", "warc_ts", "html", "text", "lang")
-      .as[PageRow]
+      .select("url", "warc_ts", "html")
+      .as[KernelInRow]
     // DEFAULT (-1) is NO pre-kernel shuffle: the scan's own partitioning
     // (spark.sql.files.maxPartitionBytes-sized splits, or the url-hash
     // partitioning left by dedupLatest's window) already spreads the work —
@@ -151,7 +155,7 @@ object Pipeline {
                     timeoutMs: Long = Extract.DefaultTimeoutMs): Dataset[ImageRow] = {
     import spark.implicits._
     import graft.pdf.{Deadline, PdfTimeout}
-    pages.select("url", "warc_ts", "html", "text", "lang").as[PageRow]
+    pages.select("url", "warc_ts", "html").as[KernelInRow]
       .mapPartitions { it =>
         it.flatMap { row =>
           val payload = row.html

@@ -12,6 +12,16 @@ final case class PageRow(
     text: String,
     lang: String)
 
+/** Kernel input projection: ONLY the columns extraction reads. Keeping the
+  * pages table's `text`/`lang` out of the kernel scan prunes ~12 KB/doc of
+  * dead parquet decode (and, on the opt-in repartition path, shuffle bytes)
+  * — the kernel consumes url/warc_ts/html and drops the rest anyway.
+  */
+final case class KernelInRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte])
+
 final case class SpanRow(page: Int, start: Long, end: Long)
 
 /** Output table row (SURVEY.md §1.2). `text` is the UTF-8 view; `text_bytes`
