@@ -29,6 +29,61 @@ object XrefEntry {
 
 private final case class ObjStm(n: Int, ds: Array[Byte], offsets: Map[Int, Long])
 
+/** Strict whole-line classifier for the two canonical xref-table line shapes
+  * — the hot loop of every classic-xref open ran TWO regex matchers per
+  * entry line. A line is classified here ONLY when it is exactly
+  * `digits S+ digits S*$` (subsection) or `digits S+ digits S+ [nf] S*$`
+  * (entry) from position 0 with digit counts whose Int/Long parses cannot
+  * overflow; everything else (prefix junk the regexes' find() would skip,
+  * oversized numbers whose .toInt must keep throwing, trailer/noise lines)
+  * returns null and falls back to the original regex path, byte-identical.
+  * Strict-match results equal the regex results: leftmost-greedy \d+ from
+  * position 0 yields the same groups.
+  */
+private[pdf] object XrefLine {
+  /** kind: 1 = subsection(first), 2 = entry(first, gen, 'n'|'f'). */
+  final class Parsed(val kind: Int, val first: Long, val gen: Long, val nf: Char)
+
+  def classify(txt: String): Parsed = {
+    val L = txt.length
+    var p = 0
+    var a = 0L; var nA = 0
+    while (p < L && { val c = txt.charAt(p); c >= '0' && c <= '9' } && nA < 19) {
+      a = a * 10 + (txt.charAt(p) - '0'); p += 1; nA += 1
+    }
+    if (nA == 0 || nA >= 19) return null
+    var nS = 0
+    while (p < L && isSp(txt.charAt(p))) { p += 1; nS += 1 }
+    if (nS == 0) return null
+    var b = 0L; var nB = 0
+    while (p < L && { val c = txt.charAt(p); c >= '0' && c <= '9' } && nB < 19) {
+      b = b * 10 + (txt.charAt(p) - '0'); p += 1; nB += 1
+    }
+    if (nB == 0 || nB >= 19) return null
+    // Trailing whitespace then either end (subsection) or [nf] then S*$.
+    var q = p
+    while (q < L && isSp(txt.charAt(q))) q += 1
+    if (q == L) {
+      // subsection (S*$ allows zero trailing spaces): the caller replays
+      // group(1).toInt, so an Int overflow must fall back to the regex path
+      // to keep throwing exactly as before
+      if (a > Int.MaxValue) return null
+      return new Parsed(1, a, b, ' ')
+    }
+    if (q == p) return null // [nf] must be S-separated from the gen digits
+    val c = txt.charAt(q)
+    if (c != 'n' && c != 'f') return null
+    var r = q + 1
+    while (r < L && isSp(txt.charAt(r))) r += 1
+    if (r != L) return null
+    if (b > Int.MaxValue) return null // gen .toInt must keep throwing via regex
+    new Parsed(2, a, b, c)
+  }
+
+  @inline private def isSp(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+}
+
 /** File-layer parser for one in-memory PDF document. Mirrors the reference's
   * PdfParser lifecycle (pdf/core/parser.go:1509-1542): load xrefs bottom-up
   * (classic tables, xref streams, hybrid /XRefStm, /Prev chains with a
@@ -186,20 +241,40 @@ final class PdfFileParser(val data: Array[Byte]) {
       lex.skipSpaces()
       if (cur.atEof) throw new PdfError("EOF in xref table")
       val txt = lex.readTextLine()
-      val m1 = xrefSubsection.matcher(txt)
-      val m2 = xrefEntry.matcher(txt)
-      if (m1.find()) {
-        curObjNum = m1.group(1).toInt
+      // Strict-canonical lines bypass the two regex matchers the loop ran
+      // per entry line (XrefLine classifies only shapes whose regex result
+      // is provably identical; anything unusual — prefix junk, oversized
+      // numbers — returns null and takes the original regex path).
+      val fast = XrefLine.classify(txt)
+      // Subsection/entry line, fast-classified or regex-matched; -1 = neither.
+      var subFirst = -1L
+      var entFirst = -1L
+      var entGen = 0
+      var entIsN = false
+      if (fast != null) {
+        if (fast.kind == 1) subFirst = fast.first
+        else { entFirst = fast.first; entGen = fast.gen.toInt; entIsN = fast.nf == 'n' }
+      } else {
+        val m1 = xrefSubsection.matcher(txt)
+        if (m1.find()) subFirst = m1.group(1).toInt.toLong
+        else {
+          val m2 = xrefEntry.matcher(txt)
+          if (m2.find()) {
+            entFirst = m2.group(1).toLong
+            entGen = m2.group(2).toInt
+            entIsN = m2.group(3).toLowerCase == "n"
+          }
+        }
+      }
+      if (subFirst >= 0) {
+        curObjNum = subFirst.toInt
         insideSubsection = true
-      } else if (m2.find()) {
+      } else if (entFirst >= 0) {
         if (!insideSubsection) throw new PdfError("Xref invalid format")
-        val first = m2.group(1).toLong
-        val gen = m2.group(2).toInt
-        val third = m2.group(3)
-        if (third.toLowerCase == "n" && first > 1) {
+        if (entIsN && entFirst > 1) {
           val existing = xrefs.get(curObjNum)
-          if (existing.isEmpty || gen > existing.get.generation)
-            xrefs(curObjNum) = XrefEntry.table(curObjNum, gen, first)
+          if (existing.isEmpty || entGen > existing.get.generation)
+            xrefs(curObjNum) = XrefEntry.table(curObjNum, entGen, entFirst)
         }
         curObjNum += 1
       } else if (txt.length > 6 && txt.startsWith("trailer")) {

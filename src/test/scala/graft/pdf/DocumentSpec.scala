@@ -465,4 +465,40 @@ class DocumentSpec extends AnyFunSuite {
     // Popup null is fine (annotations.go:947-949).
     assert(Extract(doc("[<< /Subtype /Ink /Popup null >>]")).status == "ok")
   }
+
+  test("XrefLine strict classifier agrees with the regex matchers") {
+    // The r06 fast path must classify a line IDENTICALLY to the original
+    // regex pair (m1 first, then m2) or return null (fall back). Property-
+    // check over canonical, whitespace-variant, hostile and junk shapes.
+    val lines = Seq(
+      "0000000015 00000 n", "0000000000 65535 f", "0 46", "12 3",
+      "0000000015 00000 n ", "15 0 n", "15\t0\tn", "2 7\r", "9 1 f",
+      "0000000015 00000 x", "15 n", "n 15 0", "abc 12 0 n", " 12 0 n",
+      "12 0 N", "12 0n", "120", "", "trailer<</Size 4>>", "%%EOF",
+      "12  0   n  ", "007 008", "12 34n", "123 456 7", "1 2 3 n",
+      "99999999999999999999 0 n", "12 99999999999999999999",
+      "2147483647 1", "2147483648 1", "15 2147483648 n", "-1 2 n",
+      "3.5 2", "1234", "0000000015\n00000 n")
+    for (txt <- lines) {
+      val fast = XrefLine.classify(txt)
+      val m1 = PdfPatterns.xrefSubsection.matcher(txt)
+      val m2 = PdfPatterns.xrefEntry.matcher(txt)
+      if (fast != null && fast.kind == 1) {
+        assert(m1.find(), s"fast=sub but regex sub misses: '$txt'")
+        assert(m1.group(1).toLong == fast.first, s"sub first differs: '$txt'")
+      } else if (fast != null && fast.kind == 2) {
+        assert(!m1.find(), s"fast=entry but regex sub matches first: '$txt'")
+        assert(m2.find(), s"fast=entry but regex entry misses: '$txt'")
+        assert(m2.group(1).toLong == fast.first, s"entry first differs: '$txt'")
+        assert(m2.group(2).toLong == fast.gen, s"entry gen differs: '$txt'")
+        assert(m2.group(3) == fast.nf.toString, s"entry nf differs: '$txt'")
+      }
+      // fast == null is always allowed: the caller replays the regexes.
+    }
+    // Oversize numbers MUST fall back (the .toInt/.toLong throw is part of
+    // the original semantics).
+    assert(XrefLine.classify("99999999999999999999 0 n") == null)
+    assert(XrefLine.classify("2147483648 1") == null)
+    assert(XrefLine.classify("15 2147483648 n") == null)
+  }
 }
