@@ -270,6 +270,57 @@ final class ObjLexer(val cur: ByteCursor) {
       else if (b0 == '<') return parseHexString()
       else if (b0 == '%') { readComment(); skipSpaces() }
       else {
+        // Fast dispatch over the same 15-byte window the regexes saw,
+        // without the byte-copy + string + matcher allocations (this runs
+        // once per file-layer token). Two shapes are decided here, both
+        // exact replicas of the anchored patterns on a window that cannot
+        // start with whitespace (skipSpaces just ran, so the reference
+        // pattern's leading S* is always empty; maximal digit/space runs
+        // need no backtracking):
+        //  - "D+ S+ D+ S+ R" with 'R' inside the window -> PdfRef with the
+        //    same two groups the regex + consume-through-R path produced
+        //    (the scanned 'R' IS the first 'R': an earlier one could only
+        //    sit inside a digit/space run, impossible);
+        //  - "[+-.]* digit" -> the numeric pattern matches -> parseNumber.
+        // Anything else (null/true/false, all-dot backtracking corners,
+        // window-truncated shapes) falls through to the original path.
+        @inline def at(i: Int): Int = cur.peekAt(i)
+        // the regex S class [\t\n\f\r ] — NOT the PDF whitespace class,
+        // which additionally holds NUL; a NUL-separated "12 0 R" must
+        // keep failing the reference pattern exactly like the regex does
+        @inline def isRegexSpace(c: Int): Boolean =
+          c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+        var p = 0
+        while (p < 15 && isDecimalDigit(at(p))) p += 1
+        if (p > 0 && p < 15) {
+          var q = p
+          while (q < 15 && isRegexSpace(at(q))) q += 1
+          if (q > p && q < 15) {
+            var r = q
+            while (r < 15 && isDecimalDigit(at(r))) r += 1
+            if (r > q && r < 15) {
+              var s = r
+              while (s < 15 && isRegexSpace(at(s))) s += 1
+              if (s > r && s < 15 && at(s) == 'R') {
+                var n1 = 0L; var i1 = 0
+                while (i1 < p) { n1 = n1 * 10 + (at(i1) - '0'); i1 += 1 }
+                var n2 = 0L; var i2 = q
+                while (i2 < r) { n2 = n2 * 10 + (at(i2) - '0'); i2 += 1 }
+                cur.discard(s + 1) // through the 'R', like the consume loop
+                return PdfRef(n1, n2)
+              }
+            }
+          }
+        }
+        if (p == 0) {
+          // leading [+-.]* then a digit -> numeric pattern matches
+          var t = 0
+          while (t < 15 && { val c = at(t); c == '+' || c == '-' || c == '.' }) t += 1
+          if (t < 15 && isDecimalDigit(at(t)) && t > 0) return parseNumber()
+        } else if (p == 15 || !isWhiteSpace(at(p))) {
+          // digit-led token that is NOT a reference: numeric matches
+          return parseNumber()
+        }
         val peekStr = PdfPatterns.str(cur.peek(15))
         if (peekStr.length > 3 && peekStr.startsWith("null")) return parseNull()
         if (peekStr.length > 4 && peekStr.startsWith("false")) return parseBool()

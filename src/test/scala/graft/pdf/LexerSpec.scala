@@ -210,4 +210,37 @@ class LexerSpec extends AnyFunSuite {
     assert(lexer("trueX and trailing").parseObject() == PdfBool(true))
     assertThrows[PdfError](lexer("maybe").parseBool())
   }
+
+  test("parseObject fast dispatch equals the reference-regex decision") {
+    // The r06 window-scan dispatch must classify references exactly like
+    // the anchored regex did on the 15-byte peek: same groups when it
+    // matches, never a reference when the regex would not match (incl. the
+    // NUL corner — NUL is PDF whitespace but NOT in the regex S class).
+    val snippets = Seq(
+      "12 0 R", "1 0 R /Next", "12 0 R\n", "007 008 R", "12  0   R",
+      "12\t0\tR", "12 0 Rx", "12 0R", "1 2 3 R", "12 x", "12.5]",
+      "123456789012345 0 R", "12 345678901234 R", "12 0 q",
+      "12\u0000" + "0 R", "12 \u0000" + "0 R", "-12 ", "+12 ", ".5 ", "-.002 ",
+      "3e2 ", "12", "0 R", "12 R")
+    for (s <- snippets) {
+      val window = s.take(15)
+      val mRef = PdfPatterns.reference.matcher(window)
+      val expectRef = mRef.find()
+      val lex = lexer(s)
+      val obj =
+        try Right(lex.parseObject())
+        catch { case e: PdfError => Left(e.getMessage) }
+      if (expectRef)
+        assert(obj == Right(PdfRef(mRef.group(1).toLong, mRef.group(2).toLong)),
+          s"expected ref for '${s.replace("\u0000", "\\0")}', got $obj")
+      else
+        assert(!obj.exists(_.isInstanceOf[PdfRef]),
+          s"unexpected ref for '${s.replace("\u0000", "\\0")}': $obj")
+    }
+    // exact values on the corners
+    assert(lexer("12\u0000" + "0 R").parseObject() == PdfInt(12)) // NUL kills the ref
+    assert(lexer("12.5]").parseObject() == PdfReal(12.5))
+    assert(lexer("-12 ").parseObject() == PdfInt(-12))
+    assert(lexer("null and more").parseObject() == PdfNull)
+  }
 }
