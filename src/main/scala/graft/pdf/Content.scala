@@ -140,18 +140,13 @@ final class ContentParser(content0: Array[Byte]) {
     val data = cur.data
     val dlen = data.length
     val start = cur.pos
-    var i = start
-    var end = -1
-    var simple = true
-    while (simple && end < 0 && i < dlen) {
-      val c = data(i)
-      if (c == '\\' || c == '(') simple = false
-      else if (c == ')') end = i
-      i += 1
-    }
-    if (simple && end >= 0) {
-      cur.pos = end + 1
-      return new PdfStr(java.util.Arrays.copyOfRange(data, start, end))
+    // First delimiter decides the shape exactly like the old 3-compare byte
+    // loop did (')' before any '\\'/'(' -> simple; otherwise fall back):
+    // ByteScan returns the identical index, 8 bytes per step.
+    val idx = ByteScan.firstStringDelim(data, start, dlen)
+    if (idx >= 0 && data(idx) == ')') {
+      cur.pos = idx + 1
+      return new PdfStr(java.util.Arrays.copyOfRange(data, start, idx))
     }
     val r = new ByteArrayOutputStream()
     var count = 1
