@@ -95,6 +95,26 @@ object Extract {
         case e: PdfError   => return ExtractResult(Array.emptyByteArray, Nil, "error", safeMsg(e))
         case e: Exception  => return ExtractResult(Array.emptyByteArray, Nil, "error", safeMsg(e))
       }
+    if (doc.pages.length == 1) {
+      // Single-page fast path (the common crawl case): the page's bytes ARE
+      // the document bytes — skip the two full-buffer copies (BAOS write +
+      // toByteArray) the page loop pays. Output identical: span [0, len) on
+      // page 0, error contract unchanged (partial text + error row).
+      val page = doc.pages.head
+      val pe =
+        try {
+          val content = doc.allContentStreams(page)
+          TextExtractor.extractText(content, page.resources)
+        } catch {
+          case t: PdfTimeout => throw t
+          case e: Exception  => PageExtract(Array.emptyByteArray, Some(safeMsg(e)))
+        }
+      val spans = Seq(Span(0, 0L, pe.bytes.length.toLong))
+      return pe.error match {
+        case Some(msg) => ExtractResult(pe.bytes, spans, "error", msg)
+        case None      => ExtractResult(pe.bytes, spans, "ok", "")
+      }
+    }
     val buf = new java.io.ByteArrayOutputStream()
     val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
     var pageIdx = 0

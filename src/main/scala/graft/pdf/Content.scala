@@ -34,6 +34,29 @@ final class ContentParser(content0: Array[Byte]) {
 
   private def eofExit(): Nothing = throw new EofExit
 
+  // Two-entry MRU over operand byte patterns: real streams alternate a tiny
+  // operand set (Td/Tj runs), so most ops skip the per-op String allocation
+  // + intern lookup entirely. Misses delegate to the original path.
+  private var mruA: Array[Byte] = null
+  private var mruAs: String = null
+  private var mruB: Array[Byte] = null
+  private var mruBs: String = null
+
+  private def internOperand(bytes: Array[Byte]): String = {
+    if (mruA != null && java.util.Arrays.equals(mruA, bytes)) return mruAs
+    if (mruB != null && java.util.Arrays.equals(mruB, bytes)) {
+      // promote to front
+      val tb = mruB; val ts = mruBs
+      mruB = mruA; mruBs = mruAs
+      mruA = tb; mruAs = ts
+      return mruAs
+    }
+    val s = ContentParser.operandString(bytes)
+    mruB = mruA; mruBs = mruAs
+    mruA = bytes; mruAs = s
+    s
+  }
+
   /** Parse all operations (pdf/contentstream/parser.go:39-73). */
   def parse(): mutable.ArrayBuffer[ContentOp] = {
     val operations = mutable.ArrayBuffer.empty[ContentOp]
@@ -46,7 +69,7 @@ final class ContentParser(content0: Array[Byte]) {
         var operand: String = null
         while (operand == null) {
           val (obj, isOperand) = parseObject()
-          if (isOperand) operand = ContentParser.operandString(obj.asInstanceOf[PdfStr].bytes)
+          if (isOperand) operand = internOperand(obj.asInstanceOf[PdfStr].bytes)
           else params += obj
         }
         val op = ContentOp(operand, params)
