@@ -19,21 +19,25 @@ object ByteScan {
   /** Per-byte 0x80 flag where the byte of x is zero (exact, no false hits). */
   @inline private def zeroBytes(x: Long): Long = (x - Ones) & ~x & Highs
 
-  /** First index in [from, until) holding '(', ')' or '\\'; -1 when none.
-    * `until` must be <= data.length; from >= until returns -1.
+  /** Little-endian long view over `data` for repeated scans of the same
+    * array (one wrap per parser instead of one per string token).
     */
-  def firstStringDelim(data: Array[Byte], from: Int, until: Int): Int = {
+  def viewOf(data: Array[Byte]): ByteBuffer =
+    ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+
+  /** First index in [from, until) holding '(', ')' or '\\'; -1 when none.
+    * `bb` must be `viewOf(data)`; `until` must be <= data.length; from >=
+    * until returns -1.
+    */
+  def firstStringDelim(bb: ByteBuffer, data: Array[Byte], from: Int, until: Int): Int = {
     var i = from
     val wordLim = until - 8
-    if (i <= wordLim) {
-      val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-      while (i <= wordLim) {
-        val w = bb.getLong(i)
-        val m = zeroBytes(w ^ OpenB) | zeroBytes(w ^ CloseB) | zeroBytes(w ^ EscB)
-        if (m != 0L)
-          return i + (java.lang.Long.numberOfTrailingZeros(m) >>> 3)
-        i += 8
-      }
+    while (i <= wordLim) {
+      val w = bb.getLong(i)
+      val m = zeroBytes(w ^ OpenB) | zeroBytes(w ^ CloseB) | zeroBytes(w ^ EscB)
+      if (m != 0L)
+        return i + (java.lang.Long.numberOfTrailingZeros(m) >>> 3)
+      i += 8
     }
     while (i < until) {
       val c = data(i)
@@ -42,4 +46,8 @@ object ByteScan {
     }
     -1
   }
+
+  /** Convenience overload wrapping `data` itself (tests, one-shot scans). */
+  def firstStringDelim(data: Array[Byte], from: Int, until: Int): Int =
+    firstStringDelim(viewOf(data), data, from, until)
 }

@@ -23,6 +23,8 @@ final class ContentParser(content0: Array[Byte]) {
   import ContentParser.MaxNestingDepth
   // virtual trailing '\n' (parser.go:32) without copying the payload
   private val cur = new ByteCursor(content0, trailingNewline = true)
+  // one long-view per parser for the string-delimiter SWAR scans
+  private val scanView = ByteScan.viewOf(content0)
   // JVM stacks are fixed-size (Go's grow): cap recursive nesting so a
   // pathological [[[[... becomes a clean parse error, not a StackOverflowError.
   private var depth = 0
@@ -166,7 +168,7 @@ final class ContentParser(content0: Array[Byte]) {
     // First delimiter decides the shape exactly like the old 3-compare byte
     // loop did (')' before any '\\'/'(' -> simple; otherwise fall back):
     // ByteScan returns the identical index, 8 bytes per step.
-    val idx = ByteScan.firstStringDelim(data, start, dlen)
+    val idx = ByteScan.firstStringDelim(scanView, data, start, dlen)
     if (idx >= 0 && data(idx) == ')') {
       cur.pos = idx + 1
       return new PdfStr(java.util.Arrays.copyOfRange(data, start, idx))

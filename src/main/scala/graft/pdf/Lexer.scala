@@ -286,7 +286,7 @@ final class ObjLexer(val cur: ByteCursor) {
         // window-truncated shapes) falls through to the original path.
         @inline def at(i: Int): Int = cur.peekAt(i)
         // the regex S class [\t\n\f\r ] — NOT the PDF whitespace class,
-        // which additionally holds NUL; a NUL-separated "12 0 R" must
+        // which additionally holds NUL; a NUL-separated "12<NUL>0 R" must
         // keep failing the reference pattern exactly like the regex does
         @inline def isRegexSpace(c: Int): Boolean =
           c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
