@@ -143,8 +143,36 @@ object Extract {
   /** HTML branch: boilerplate strip; one span per kept block. */
   def extractHtml(payload: Array[Byte]): ExtractResult = {
     val res = HtmlExtract.extract(payload)
-    val text = res.text
-    val bytes = text.getBytes(UTF_8)
+    // Output bytes assembled directly from the parts (title, then blocks,
+    // joined by '\n') — the res.text mkString built a full intermediate
+    // String only to be encoded once and discarded. Per-part UTF-8 equals
+    // whole-string UTF-8 here: the '\n' join char cannot complete a
+    // surrogate pair, and a lone surrogate encodes to '?' either way.
+    val bytes: Array[Byte] = {
+      val title = res.title
+      val blocks = res.blocks
+      val nParts = (if (title.nonEmpty) 1 else 0) + blocks.length
+      if (nParts == 0) Array.emptyByteArray
+      else {
+        val enc = new Array[Array[Byte]](nParts)
+        var j = 0
+        if (title.nonEmpty) { enc(0) = title.getBytes(UTF_8); j = 1 }
+        for (b <- blocks) { enc(j) = b.getBytes(UTF_8); j += 1 }
+        var total = nParts - 1 // the joining '\n' bytes
+        var i = 0
+        while (i < nParts) { total += enc(i).length; i += 1 }
+        val out = new Array[Byte](total)
+        var off = 0
+        i = 0
+        while (i < nParts) {
+          if (i > 0) { out(off) = '\n'; off += 1 }
+          System.arraycopy(enc(i), 0, out, off, enc(i).length)
+          off += enc(i).length
+          i += 1
+        }
+        out
+      }
+    }
     // Span per output line (title counts as line 0 when present). Line
     // boundaries are found on the ENCODED bytes: UTF-8 never embeds 0x0A
     // inside a multi-byte sequence, so segments between '\n' bytes are

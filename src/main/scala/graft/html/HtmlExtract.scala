@@ -31,15 +31,109 @@ object HtmlExtract {
       else blocks.mkString("\n")
   }
 
-  private val rawTextTags = Set("script", "style", "noscript", "template", "svg", "iframe")
-  private val boilerplateTags = Set("nav", "header", "footer", "aside", "form")
-  private val contentTags = Set("article", "main")
-  private val blockTags = Set(
+  private[html] val rawTextTags = Set("script", "style", "noscript", "template", "svg", "iframe")
+  private[html] val boilerplateTags = Set("nav", "header", "footer", "aside", "form")
+  private[html] val contentTags = Set("article", "main")
+  private[html] val blockTags = Set(
     "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
     "td", "th", "tr", "table", "section", "article", "main", "blockquote",
     "pre", "figure", "figcaption", "dd", "dt", "dl", "nav", "header",
     "footer", "aside", "form", "body", "hr", "title")
-  private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+  private[html] val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  // ---- in-place tag classification (hot loop: one per tag) ----
+  // Flag bits mirror the tag sets above 1:1 (HtmlSpec property-checks the
+  // classifier against the sets over every tag x case variant); RAW tags
+  // carry their canonical name index in the high bits for the close-tag
+  // search. 0 = unknown tag (member of no set).
+  private[html] final val TagBlock = 1
+  private[html] final val TagRaw = 2
+  private[html] final val TagBoiler = 4
+  private[html] final val TagContent = 8
+  private[html] final val TagHeading = 16
+  private[html] final val TagTitle = 32
+  private[html] final val TagA = 64
+  private[html] final val TagBody = 128
+  private[html] final val TagHead = 256
+  private[html] val rawNames = Array("script", "style", "noscript", "template", "svg", "iframe")
+  @inline private def raw(idx: Int): Int = TagRaw | (idx << 16)
+  private[html] def rawIndex(cls: Int): Int = cls >>> 16
+
+  /** Case-insensitive classification of html[from, until) — the tag-name
+    * chars are letters/digits only (the caller's scan), so ASCII folding via
+    * `| 0x20` is exact (digits already carry bit 5; non-ASCII letters can
+    * never alias into ASCII). Equivalent to
+    * `substring.toLowerCase(Locale.ROOT)` + the set memberships above.
+    */
+  private[html] def classifyTag(s: String, from: Int, until: Int): Int = {
+    @inline def lc(i: Int): Int = s.charAt(from + i) | 0x20
+    @inline def is(lit: String): Boolean = {
+      var i = 0
+      val n = lit.length
+      while (i < n && lc(i) == lit.charAt(i)) i += 1
+      i == n
+    }
+    (until - from) match {
+      case 1 => lc(0) match {
+        case 'p' => TagBlock
+        case 'a' => TagA
+        case _   => 0
+      }
+      case 2 =>
+        val c0 = lc(0); val c1 = lc(1)
+        c0 match {
+          case 'b' => if (c1 == 'r') TagBlock else 0
+          case 'l' => if (c1 == 'i') TagBlock else 0
+          case 'u' => if (c1 == 'l') TagBlock else 0
+          case 'o' => if (c1 == 'l') TagBlock else 0
+          case 'h' =>
+            if (c1 >= '1' && c1 <= '6') TagBlock | TagHeading
+            else if (c1 == 'r') TagBlock
+            else 0
+          case 't' => if (c1 == 'd' || c1 == 'h' || c1 == 'r') TagBlock else 0
+          case 'd' => if (c1 == 'd' || c1 == 't' || c1 == 'l') TagBlock else 0
+          case _ => 0
+        }
+      case 3 =>
+        if (is("div")) TagBlock
+        else if (is("pre")) TagBlock
+        else if (is("nav")) TagBlock | TagBoiler
+        else if (is("svg")) raw(4)
+        else 0
+      case 4 =>
+        if (is("body")) TagBlock | TagBody
+        else if (is("form")) TagBlock | TagBoiler
+        else if (is("main")) TagBlock | TagContent
+        else if (is("head")) TagHead
+        else 0
+      case 5 =>
+        if (is("table")) TagBlock
+        else if (is("aside")) TagBlock | TagBoiler
+        else if (is("title")) TagBlock | TagTitle
+        else if (is("style")) raw(1)
+        else 0
+      case 6 =>
+        if (is("script")) raw(0)
+        else if (is("iframe")) raw(5)
+        else if (is("header")) TagBlock | TagBoiler
+        else if (is("footer")) TagBlock | TagBoiler
+        else if (is("figure")) TagBlock
+        else 0
+      case 7 =>
+        if (is("article")) TagBlock | TagContent
+        else if (is("section")) TagBlock
+        else 0
+      case 8 =>
+        if (is("noscript")) raw(2)
+        else if (is("template")) raw(3)
+        else 0
+      case 10 =>
+        if (is("blockquote")) TagBlock
+        else if (is("figcaption")) TagBlock
+        else 0
+      case _ => 0
+    }
+  }
 
   private final class Block {
     val sb = new StringBuilder
@@ -304,7 +398,10 @@ object HtmlExtract {
           var j = i + (if (close) 2 else 1)
           val nameStart = j
           while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
-          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          // In-place classification replaces the per-tag substring +
+          // toLowerCase + set lookups (classifyTag is property-checked
+          // against the sets); unknown tags never needed the name string.
+          val cls = classifyTag(html, nameStart, j)
           // Find the tag end with quote awareness: '>' inside quoted
           // attribute values (e.g. href="x?a>b") must not terminate the tag.
           var k = j
@@ -322,18 +419,18 @@ object HtmlExtract {
           // skip and must not move any depth counter (it would never be
           // balanced by a close tag).
           val selfClosing = !close && gtEnd > 0 && html.charAt(gtEnd - 1) == '/'
-          if (name.isEmpty) {
+          if (j == nameStart) {
             // Broken tag like "< " or "<>": treat '<' as text.
             appendText("<")
             i += 1
           } else if (selfClosing) {
-            if (blockTags.contains(name)) flushBlock()
+            if ((cls & TagBlock) != 0) flushBlock()
             i = tagEnd
-          } else if (!close && rawTextTags.contains(name)) {
+          } else if (!close && (cls & TagRaw) != 0) {
             // Skip the raw-text subtree: find the matching close tag. The
             // prefix match alone would accept "</scripty>" for "</script";
             // require the name to END there (">", whitespace or "/").
-            val closeTag = "</" + name
+            val closeTag = "</" + rawNames(rawIndex(cls))
             var searchFrom = tagEnd
             var idx = -1
             while (idx < 0 && searchFrom < n) {
@@ -353,25 +450,23 @@ object HtmlExtract {
               i = if (gt < 0) n else gt + 1
             }
           } else {
-            if (blockTags.contains(name)) flushBlock()
+            if ((cls & TagBlock) != 0) flushBlock()
             // Missing-</title> recovery: a page whose <title> never closes
             // would otherwise route the ENTIRE body into the title and
             // bypass every block heuristic — close it when the head clearly
             // ends.
-            if (inTitle && (name == "body" || (close && name == "head")))
+            if (inTitle && ((cls & TagBody) != 0 || (close && (cls & TagHead) != 0)))
               inTitle = false
-            name match {
-              case "title" =>
-                inTitle = !close
-              case "a" =>
-                if (close) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
-              case t if boilerplateTags.contains(t) =>
-                if (close) boilerDepth = math.max(0, boilerDepth - 1) else boilerDepth += 1
-              case t if contentTags.contains(t) =>
-                if (close) contentDepth = math.max(0, contentDepth - 1) else contentDepth += 1
-              case _ => ()
+            if ((cls & TagTitle) != 0)
+              inTitle = !close
+            else if ((cls & TagA) != 0) {
+              if (close) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
+            } else if ((cls & TagBoiler) != 0) {
+              if (close) boilerDepth = math.max(0, boilerDepth - 1) else boilerDepth += 1
+            } else if ((cls & TagContent) != 0) {
+              if (close) contentDepth = math.max(0, contentDepth - 1) else contentDepth += 1
             }
-            if (!close && headingTags.contains(name)) current.heading = true
+            if (!close && (cls & TagHeading) != 0) current.heading = true
             current.inContent = contentDepth > 0
             current.boilerplate = boilerDepth > 0
             i = tagEnd

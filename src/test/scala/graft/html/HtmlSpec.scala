@@ -176,6 +176,46 @@ class HtmlSpec extends AnyFunSuite {
     assert(res.blocks == Seq("caf\u00e9 \u2014 50\u00a2 \u00a9 r\u00e9sum\u00e9\u2026"))
   }
 
+  test("classifyTag flags equal the tag-set memberships for every tag and case") {
+    import HtmlExtract._
+    val known = blockTags ++ rawTextTags ++ boilerplateTags ++ contentTags ++
+      headingTags ++ Set("a", "title", "body", "head")
+    val unknown = Seq("span", "b", "i", "em", "html", "img", "tt", "x", "h7",
+      "h0", "scripty", "scrip", "divx", "xdiv", "articl", "articles",
+      "blockquotes", "figcaptio", "templates", "q", "hx", "dz", "tz")
+    def variants(t: String): Seq[String] =
+      Seq(t, t.toUpperCase(java.util.Locale.ROOT),
+        t.zipWithIndex.map { case (c, i) => if (i % 2 == 0) c.toUpper else c }.mkString)
+    for (t <- known.toSeq ++ unknown; v <- variants(t)) {
+      // classify inside a larger string to exercise the from/until window
+      val s = "xy" + v + "zw"
+      val cls = classifyTag(s, 2, 2 + v.length)
+      val lower = v.toLowerCase(java.util.Locale.ROOT)
+      assert(((cls & TagBlock) != 0) == blockTags.contains(lower), s"block: $v")
+      assert(((cls & TagRaw) != 0) == rawTextTags.contains(lower), s"raw: $v")
+      assert(((cls & TagBoiler) != 0) == boilerplateTags.contains(lower), s"boiler: $v")
+      assert(((cls & TagContent) != 0) == contentTags.contains(lower), s"content: $v")
+      assert(((cls & TagHeading) != 0) == headingTags.contains(lower), s"heading: $v")
+      assert(((cls & TagTitle) != 0) == (lower == "title"), s"title: $v")
+      assert(((cls & TagA) != 0) == (lower == "a"), s"a: $v")
+      assert(((cls & TagBody) != 0) == (lower == "body"), s"body: $v")
+      assert(((cls & TagHead) != 0) == (lower == "head"), s"head: $v")
+      if (rawTextTags.contains(lower))
+        assert(rawNames(rawIndex(cls)) == lower, s"raw canonical: $v")
+    }
+  }
+
+  test("mixed-case and unknown tags behave as before through extract") {
+    val html = "<HTML><BODY><ARTICLE><P>mixed case article body text here</P>" +
+      "<SCRIPT>var x = 'dropped';</SCRIPT><NAV>menu</NAV>" +
+      "<H1>HdNg</H1></ARTICLE></BODY></HTML>"
+    val res = HtmlExtract.extract(html)
+    assert(res.blocks.contains("mixed case article body text here"))
+    assert(!res.text.contains("dropped"))
+    assert(!res.text.contains("menu"))
+    assert(res.blocks.contains("HdNg")) // heading inside article/main kept
+  }
+
   test("bulk text-run path is byte-identical to the classic per-span path") {
     // The r06 bulk appendRun (one builder call per run via a char buffer)
     // must match the classic loop char-for-char: whitespace collapse,
