@@ -61,12 +61,18 @@ object HtmlExtract {
 
   /** Case-insensitive classification of html[from, until) — the tag-name
     * chars are letters/digits only (the caller's scan), so ASCII folding via
-    * `| 0x20` is exact (digits already carry bit 5; non-ASCII letters can
-    * never alias into ASCII). Equivalent to
-    * `substring.toLowerCase(Locale.ROOT)` + the set memberships above.
+    * `| 0x20` is exact (digits already carry bit 5) with ONE exception:
+    * U+212A KELVIN SIGN, the single codepoint whose Locale.ROOT lowercase
+    * aliases INTO ascii ('k'), folded explicitly. Length-changing lowercase
+    * expansions (U+0130) cannot produce a known tag, so per-char folding
+    * otherwise equals `substring.toLowerCase(Locale.ROOT)` + the set
+    * memberships above.
     */
   private[html] def classifyTag(s: String, from: Int, until: Int): Int = {
-    @inline def lc(i: Int): Int = s.charAt(from + i) | 0x20
+    @inline def lc(i: Int): Int = {
+      val c = s.charAt(from + i)
+      if (c == '\u212A') 'k' else c | 0x20
+    }
     @inline def is(lit: String): Boolean = {
       var i = 0
       val n = lit.length
